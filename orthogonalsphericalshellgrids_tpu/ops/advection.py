@@ -1,0 +1,91 @@
+"""Advection schemes: WENO-5 (Z-weights), centered, flux-form and vector-invariant.
+
+TPU-native build of the schemes the reference workloads exercise (SURVEY.md O7):
+``FluxFormAdvection(WENO(order=5), WENO(order=5), Centered())`` for tracers and
+``WENOVectorInvariant(vorticity_order=5)`` for momentum
+(``examples/bickley_jet.jl:48-49``). The WENO-5 reconstruction uses uniform-mesh
+optimal coefficients (as Oceananigans does by default on curvilinear horizontal grids)
+with WENO-Z nonlinear weights (Borges et al. 2008).
+
+All reconstructions are shape-preserving operations on halo-inclusive arrays; a WENO-5
+face value consumes 3 halo cells on each side, within the default halo of 4.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .operators import shift_m, shift_p
+
+__all__ = [
+    "weno5_faces_from_centers",
+    "weno5_centers_from_faces",
+    "upwind_select",
+    "centered_faces_from_centers",
+]
+
+_EPS = 1e-8  # smoothness regularizer; float32-safe
+
+
+def _weno5_left(m3, m2, m1, p0, p1):
+    """WENO-5 reconstruction at the interface from the LEFT (upwind for positive flow).
+
+    Data (m3, m2, m1 | p0, p1) are the five cells around the interface: three upwind
+    (left) and two downwind (right). Returns the reconstructed interface value.
+    """
+    q0 = (2.0 * m3 - 7.0 * m2 + 11.0 * m1) / 6.0
+    q1 = (-m2 + 5.0 * m1 + 2.0 * p0) / 6.0
+    q2 = (2.0 * m1 + 5.0 * p0 - p1) / 6.0
+
+    b0 = (13.0 / 12.0) * (m3 - 2.0 * m2 + m1) ** 2 + 0.25 * (m3 - 4.0 * m2 + 3.0 * m1) ** 2
+    b1 = (13.0 / 12.0) * (m2 - 2.0 * m1 + p0) ** 2 + 0.25 * (m2 - p0) ** 2
+    b2 = (13.0 / 12.0) * (m1 - 2.0 * p0 + p1) ** 2 + 0.25 * (3.0 * m1 - 4.0 * p0 + p1) ** 2
+
+    tau = jnp.abs(b0 - b2)
+    a0 = 0.1 * (1.0 + (tau / (b0 + _EPS)) ** 2)
+    a1 = 0.6 * (1.0 + (tau / (b1 + _EPS)) ** 2)
+    a2 = 0.3 * (1.0 + (tau / (b2 + _EPS)) ** 2)
+    s = a0 + a1 + a2
+    return (a0 * q0 + a1 * q1 + a2 * q2) / s
+
+
+def weno5_faces_from_centers(c, axis):
+    """Biased WENO-5 reconstructions of a center-located field at faces.
+
+    Face k sits between centers k-1 and k. Returns ``(left, right)``:
+    - ``left``  — reconstruction biased from below (upwind value for positive velocity),
+    - ``right`` — reconstruction biased from above (upwind value for negative velocity).
+    """
+    cm1 = shift_m(c, axis)           # c[k-1]
+    cm2 = shift_m(cm1, axis)         # c[k-2]
+    cm3 = shift_m(cm2, axis)         # c[k-3]
+    cp0 = c                          # c[k]
+    cp1 = shift_p(c, axis)           # c[k+1]
+    left = _weno5_left(cm3, cm2, cm1, cp0, cp1)
+    # The right-biased reconstruction is the mirror image: (c[k+2], c[k+1], c[k] | c[k-1], c[k-2])
+    cp2 = shift_p(cp1, axis)
+    right = _weno5_left(cp2, cp1, cp0, cm1, cm2)
+    return left, right
+
+
+def weno5_centers_from_faces(f, axis):
+    """Biased WENO-5 reconstructions of a face-located field at centers.
+
+    Center k sits between faces k and k+1, i.e. at 'face index k+1' of the face field.
+    Implemented by reconstructing at faces and shifting the result down by one.
+    """
+    left, right = weno5_faces_from_centers(f, axis)
+    return shift_p(left, axis), shift_p(right, axis)
+
+
+def upwind_select(vel, left, right):
+    """Upwind selection: the left-biased value where vel > 0, else right-biased.
+
+    Matches the reference's upwind dispatch on the interpolated advecting velocity sign
+    (Oceananigans upwind-biased reconstruction; SURVEY.md O7)."""
+    return jnp.where(vel > 0.0, left, right)
+
+
+def centered_faces_from_centers(c, axis):
+    """Second-order centered interpolation of centers to faces (Centered())."""
+    return 0.5 * (c + shift_m(c, axis))
