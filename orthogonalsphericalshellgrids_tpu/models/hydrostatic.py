@@ -1,0 +1,370 @@
+"""Hydrostatic free-surface model on a tripolar grid (barotropic configuration).
+
+TPU-native build of the model engine the reference's Bickley-jet workloads exercise
+through Oceananigans (SURVEY.md O5/O6/O7, call stack §3.4):
+
+- vector-invariant momentum with upwinded WENO-5 vorticity reconstruction
+  (``WENOVectorInvariant(vorticity_order=5)``, examples/bickley_jet.jl:49),
+- flux-form WENO-5 tracer advection (examples/bickley_jet.jl:48),
+- split-explicit free surface with SM05-averaged forward-backward substeps integrated
+  in *widened* y-halos so the substep loop is communication-free
+  (pinned by test/runtests.jl:52-71),
+- quasi-Adams-Bashforth-2 time stepping (χ = 0.1, forward Euler on the first step),
+- grid-fitted immersed boundary masking (examples/bickley_jet.jl:26-29).
+
+Design (SURVEY.md §7): the model is a frozen pytree of precomputed device arrays
+(metric reciprocals, masks, column depths — on both the base grid and the
+extended-halo free-surface grid); the state is an immutable pytree of halo-inclusive
+2-D fields ``(u, v, η, U, V, tracers, previous tendencies)``; ``step`` is one pure
+jitted function; all halo logic is fused data movement (ops/zipper.py). The current
+implementation is the depth-integrated (single-layer) configuration — exactly the
+regime of every reference workload (Nz = 1 everywhere in examples and tests).
+
+Exact numerical parity caveat: the reference's scheme internals live in Oceananigans
+(not in the reference repo); the discretizations here follow the standard published
+forms (Arakawa C-grid vector invariant, WENO-Z, SM05 averaging) and are pinned by
+physics tests (fold symmetry, conservation, vortex transport) rather than bitwise
+comparison.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grids.immersed import ImmersedBoundary, make_immersed_boundary
+from ..grids.tripolar import TripolarGrid, with_halo
+from ..ops import zipper
+from ..ops.advection import upwind_select, weno5_centers_from_faces, weno5_faces_from_centers
+from ..ops.location import CC, CF, FC
+from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
+from .split_explicit import SplitExplicitFreeSurface
+
+__all__ = ["HydrostaticModel", "State", "make_model", "step", "compute_cfl_dt", "vorticity"]
+
+_CHI = 0.1  # quasi-AB2 parameter (Oceananigans default)
+
+
+# --------------------------------------------------------------------------------------
+# State and model pytrees
+# --------------------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class State:
+    """Prognostic state. u/v/c on base-halo arrays; η/U/V on extended-halo arrays
+    (the free-surface fields live on the widened grid — reference ``with_halo`` path)."""
+
+    u: Any
+    v: Any
+    eta: Any
+    U: Any
+    V: Any
+    c: Any
+    Gu: Any
+    Gv: Any
+    Gc: Any
+    t: Any
+    iteration: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class HydrostaticModel:
+    """Static model configuration + precomputed device arrays (a frozen pytree)."""
+
+    grid: TripolarGrid
+    grid_ext: TripolarGrid
+    ib: ImmersedBoundary          # on the base grid
+    # reciprocal metrics, base grid (0 where the metric degenerates at the poles)
+    inv_dx_fc: Any
+    inv_dy_cf: Any
+    inv_az_ff: Any
+    inv_vol_c: Any                # mask_c / (Az_cc * h_c)
+    # extended (free-surface) grid arrays
+    inv_dx_fc_e: Any
+    inv_dy_cf_e: Any
+    inv_az_cc_e: Any
+    dy_fc_e: Any
+    dx_cf_e: Any
+    h_u_e: Any
+    h_v_e: Any
+    mask_u_e: Any
+    mask_v_e: Any
+    # barotropic averaging weights (device array)
+    weights: Any
+    # coriolis frequency at FF points (0 array when disabled)
+    f_ff: Any
+    # static metadata
+    substeps: int
+    fractional_dt: float
+    g: float
+    coriolis: bool
+
+    # convenience
+    @property
+    def dtype(self):
+        return self.grid.dtype
+
+
+_MODEL_ARRAYS = [
+    "grid", "grid_ext", "ib",
+    "inv_dx_fc", "inv_dy_cf", "inv_az_ff", "inv_vol_c",
+    "inv_dx_fc_e", "inv_dy_cf_e", "inv_az_cc_e", "dy_fc_e", "dx_cf_e",
+    "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "f_ff",
+]
+_MODEL_META = ["substeps", "fractional_dt", "g", "coriolis"]
+
+for _cls, _data, _meta in [
+    (State, [f.name for f in dataclasses.fields(State)], []),
+    (HydrostaticModel, _MODEL_ARRAYS, _MODEL_META),
+]:
+    jax.tree_util.register_dataclass(_cls, data_fields=_data, meta_fields=_meta)
+
+
+# --------------------------------------------------------------------------------------
+# Halo fill helpers
+# --------------------------------------------------------------------------------------
+
+def _fill(grid: TripolarGrid, A, loc, sign):
+    return zipper.fill_halos(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
+                             south="zero_gradient", xp=jnp)
+
+
+def embed_ext(grid: TripolarGrid, grid_ext: TripolarGrid, A):
+    """Pad a base-halo array into the extended-halo row layout (x layout unchanged)."""
+    d = grid_ext.Hy - grid.Hy
+    return jnp.pad(A, ((d, d), (0, 0)))
+
+
+def crop_ext(grid: TripolarGrid, grid_ext: TripolarGrid, A):
+    d = grid_ext.Hy - grid.Hy
+    return A[d : d + grid.Ny + 2 * grid.Hy, :]
+
+
+# --------------------------------------------------------------------------------------
+# Model construction
+# --------------------------------------------------------------------------------------
+
+def _inv(m):
+    return jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+
+
+def make_model(
+    grid: TripolarGrid,
+    free_surface: SplitExplicitFreeSurface | None = None,
+    bottom_height=None,
+    coriolis: bool = False,
+    rotation_rate: float = 7.292115e-5,
+) -> HydrostaticModel:
+    """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
+    rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
+    reciprocal metrics, masks and column depths on both grids.
+
+    A tripolar-grid model *requires* an explicit free-surface configuration — mirroring
+    the reference pin that a plain model throws (test/runtests.jl:50).
+    """
+    if free_surface is None:
+        raise ValueError(
+            "A tripolar-grid model requires an explicit SplitExplicitFreeSurface "
+            "configuration (the reference rejects the default free surface too)."
+        )
+    hy_ext = max(free_surface.required_y_halo, grid.Hy)
+    grid_ext = with_halo(grid, (grid.Hx, hy_ext, grid.Hz))
+
+    if bottom_height is None:
+        bottom_height = lambda lam, phi: np.full_like(lam, grid.z_bounds[0] - 1.0)  # all ocean
+    ib = make_immersed_boundary(grid, bottom_height)
+    ib_e = make_immersed_boundary(grid_ext, bottom_height)
+
+    dt = grid.dtype
+    f_ff = (
+        2.0 * rotation_rate * jnp.sin(jnp.deg2rad(grid.phi_ff))
+        if coriolis else jnp.zeros_like(grid.phi_ff)
+    ).astype(dt)
+
+    return HydrostaticModel(
+        grid=grid,
+        grid_ext=grid_ext,
+        ib=ib,
+        inv_dx_fc=_inv(grid.dx_fc),
+        inv_dy_cf=_inv(grid.dy_cf),
+        inv_az_ff=_inv(grid.az_ff),
+        inv_vol_c=ib.mask_c * _inv(grid.az_cc * ib.h_c),
+        inv_dx_fc_e=_inv(grid_ext.dx_fc),
+        inv_dy_cf_e=_inv(grid_ext.dy_cf),
+        inv_az_cc_e=_inv(grid_ext.az_cc),
+        dy_fc_e=grid_ext.dy_fc,
+        dx_cf_e=grid_ext.dx_cf,
+        h_u_e=ib_e.h_u,
+        h_v_e=ib_e.h_v,
+        mask_u_e=ib_e.mask_u,
+        mask_v_e=ib_e.mask_v,
+        weights=jnp.asarray(free_surface.weights, dtype=dt),
+        f_ff=f_ff,
+        substeps=free_surface.substeps,
+        fractional_dt=float(free_surface.fractional_dt),
+        g=float(free_surface.gravitational_acceleration),
+        coriolis=coriolis,
+    )
+
+
+def initial_state(model: HydrostaticModel, u=None, v=None, c=None, eta=None) -> State:
+    """Build the initial state from functions of (λ, φ) in degrees evaluated at the
+    proper staggered locations (the reference's ``set!(model, u=uᵢ, ...)`` semantics,
+    examples/bickley_jet.jl:70-73)."""
+    g = model.grid
+    dt = model.dtype
+
+    def sample_full(fn, lam, phi):
+        if fn is None:
+            return jnp.zeros(g.shape2d, dt)
+        out = np.broadcast_to(
+            np.asarray(fn(np.asarray(lam, np.float64), np.asarray(phi, np.float64))), g.shape2d
+        )
+        full = np.zeros(g.shape2d)
+        full[g.interior2d] = out[g.interior2d]
+        return jnp.asarray(full, dt)
+
+    u0 = sample_full(u, g.lam_fc, g.phi_fc) * model.ib.mask_u
+    v0 = sample_full(v, g.lam_cf, g.phi_cf) * model.ib.mask_v
+    c0 = sample_full(c, g.lam_cc, g.phi_cc) * model.ib.mask_c
+    eta0 = sample_full(eta, g.lam_cc, g.phi_cc) * model.ib.mask_c
+
+    U0 = embed_ext(g, model.grid_ext, model.ib.h_u * u0)
+    V0 = embed_ext(g, model.grid_ext, model.ib.h_v * v0)
+    eta_e = embed_ext(g, model.grid_ext, eta0)
+    zero = jnp.zeros(g.shape2d, dt)
+    return State(
+        u=u0, v=v0, eta=eta_e, U=U0, V=V0, c=c0,
+        Gu=zero, Gv=zero, Gc=zero,
+        t=jnp.zeros((), dt), iteration=jnp.zeros((), jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Dynamics
+# --------------------------------------------------------------------------------------
+
+def vorticity(model: HydrostaticModel, u, v):
+    """ζ at FF: (δxᶠ(Δyᶜᶠ v) − δyᶠ(Δxᶠᶜ u)) / Azᶠᶠ — the reference's
+    VerticalVorticityField diagnostic (SURVEY.md O9). Inputs must be halo-filled."""
+    g = model.grid
+    return (dxf(g.dy_cf * v) - dyf(g.dx_fc * u)) * model.inv_az_ff
+
+
+def tendencies(model: HydrostaticModel, u, v, c):
+    """Interior tendencies G_u, G_v (vector-invariant, no surface-pressure term — that
+    is barotropic) and G_c (flux-form WENO). Inputs must be halo-filled."""
+    g = model.grid
+    ib = model.ib
+
+    zeta = vorticity(model, u, v)
+    q = zeta + model.f_ff if model.coriolis else zeta
+
+    # --- u-equation (FC): + q̃ v̂ − δxᶠ(K)/Δxᶠᶜ
+    v_hat = ixf(iyc(g.dx_cf * v)) * model.inv_dx_fc
+    zl, zr = weno5_centers_from_faces(q, axis=-2)
+    q_at_u = upwind_select(v_hat, zl, zr)
+    ke = 0.5 * (ixc(u * u) + iyc(v * v))
+    Gu = (q_at_u * v_hat - dxf(ke) * model.inv_dx_fc) * ib.mask_u
+
+    # --- v-equation (CF): − q̃ û − δyᶠ(K)/Δyᶜᶠ
+    u_hat = iyf(ixc(g.dy_fc * u)) * model.inv_dy_cf
+    zl, zr = weno5_centers_from_faces(q, axis=-1)
+    q_at_v = upwind_select(u_hat, zl, zr)
+    Gv = (-q_at_v * u_hat - dyf(ke) * model.inv_dy_cf) * ib.mask_v
+
+    # --- tracer (CC): flux-form WENO-5; transports carry the column depth so the
+    # advected content is conserved against the free surface divergence
+    cl, cr = weno5_faces_from_centers(c, axis=-1)
+    fx = u * ib.h_u * g.dy_fc * upwind_select(u, cl, cr)
+    cl, cr = weno5_faces_from_centers(c, axis=-2)
+    fy = v * ib.h_v * g.dx_cf * upwind_select(v, cl, cr)
+    Gc = -(dxc(fx) + dyc(fy)) * model.inv_vol_c
+
+    return Gu, Gv, Gc
+
+
+def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt):
+    """SM05-averaged forward-backward substepping of (η, U, V) on the extended-halo
+    grid. No y-halo communication inside the loop — validity shrinks one row per
+    substep into the widened halo (the reference's 1:Ny+Hy−1 kernel-range trick,
+    test/runtests.jl:66). The x-wrap is local and re-applied every substep."""
+    ge = model.grid_ext
+    dtau = model.fractional_dt * dt
+    gH_u = model.g * model.h_u_e
+    gH_v = model.g * model.h_v_e
+
+    def wrapx(A):
+        return zipper.wrap_x(A, ge.Nx, ge.Hx, xp=jnp)
+
+    def substep(carry, w):
+        eta, U, V, eta_a, U_a, V_a = carry
+        div = (dxc(model.dy_fc_e * U) + dyc(model.dx_cf_e * V)) * model.inv_az_cc_e
+        eta = wrapx(eta - dtau * div)
+        U = wrapx((U - dtau * (gH_u * dxf(eta) * model.inv_dx_fc_e - GU)) * model.mask_u_e)
+        V = wrapx((V - dtau * (gH_v * dyf(eta) * model.inv_dy_cf_e - GV)) * model.mask_v_e)
+        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V), None
+
+    zero = jnp.zeros_like(eta)
+    init = (eta, U, V, zero, jnp.zeros_like(U), jnp.zeros_like(V))
+    (_, _, _, eta_a, U_a, V_a), _ = jax.lax.scan(substep, init, model.weights)
+    return eta_a, U_a, V_a
+
+
+def step(model: HydrostaticModel, state: State, dt) -> State:
+    """One full time step (reference call stack SURVEY.md §3.4): halo fills, WENO
+    tendencies, quasi-AB2 extrapolation, communication-free barotropic subcycling,
+    barotropic-velocity corrector (single-layer: u = U/H), tracer update."""
+    g = model.grid
+    ge = model.grid_ext
+    dt = jnp.asarray(dt, model.dtype)
+
+    u = _fill(g, state.u, FC, -1)
+    v = _fill(g, state.v, CF, -1)
+    c = _fill(g, state.c, CC, 1)
+
+    Gu, Gv, Gc = tendencies(model, u, v, c)
+
+    first = state.iteration == 0
+    w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
+    w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
+    Gu_s = w1 * Gu - w2 * state.Gu
+    Gv_s = w1 * Gv - w2 * state.Gv
+    Gc_s = w1 * Gc - w2 * state.Gc
+
+    # Depth-integrated barotropic forcing, folded/wrapped valid through the extended rows
+    GU = _fill(ge, embed_ext(g, ge, model.ib.h_u * Gu_s), FC, -1)
+    GV = _fill(ge, embed_ext(g, ge, model.ib.h_v * Gv_s), CF, -1)
+
+    eta = _fill(ge, state.eta, CC, 1)
+    U = _fill(ge, state.U, FC, -1)
+    V = _fill(ge, state.V, CF, -1)
+
+    eta_a, U_a, V_a = barotropic_substeps(model, eta, U, V, GU, GV, dt)
+
+    # Single-layer corrector: the velocity IS the barotropic velocity
+    inv_h_u = _inv(model.ib.h_u)
+    inv_h_v = _inv(model.ib.h_v)
+    u_new = crop_ext(g, ge, U_a) * inv_h_u * model.ib.mask_u
+    v_new = crop_ext(g, ge, V_a) * inv_h_v * model.ib.mask_v
+
+    c_new = (state.c + dt * Gc_s) * model.ib.mask_c
+
+    return State(
+        u=u_new, v=v_new, eta=eta_a, U=U_a, V=V_a, c=c_new,
+        Gu=Gu, Gv=Gv, Gc=Gc,
+        t=state.t + dt, iteration=state.iteration + 1,
+    )
+
+
+def compute_cfl_dt(model: HydrostaticModel, state: State, cfl=0.3):
+    """Advective-CFL time step: cfl / max(|u|/Δx + |v|/Δy), computed on device —
+    the TimeStepWizard's device-side half (SURVEY.md O10)."""
+    g = model.grid
+    speed = jnp.abs(state.u) * model.inv_dx_fc + jnp.abs(state.v) * model.inv_dy_cf
+    smax = jnp.max(g.interior(speed))
+    return jnp.where(smax > 0, cfl / smax, jnp.inf)

@@ -1,0 +1,139 @@
+"""Simulation driver: run loop, callbacks, schedules, adaptive time stepping.
+
+TPU-native build of the Oceananigans simulation layer the reference examples use
+(SURVEY.md O10: ``Simulation``, ``run!``, ``Callback``, ``IterationInterval``,
+``TimeInterval``, ``TimeStepWizard(cfl=0.3, max_change=1.1, max_Δt)``;
+``examples/bickley_jet.jl:73-89``).
+
+The driver is a thin Python loop around the jitted ``step``; Δt is a *traced* scalar
+argument so adapting it never recompiles. Device synchronization happens only when a
+callback actually fires (the reference's progress printout every 10 iterations —
+``examples/bickley_jet.jl:84-87``); between callbacks the step chain stays fully
+asynchronous on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..models.hydrostatic import HydrostaticModel, State, compute_cfl_dt, step
+
+__all__ = [
+    "IterationInterval",
+    "TimeInterval",
+    "TimeStepWizard",
+    "Simulation",
+    "progress_callback",
+]
+
+
+class IterationInterval:
+    """Fires every N iterations (Oceananigans IterationInterval)."""
+
+    def __init__(self, every: int):
+        self.every = int(every)
+
+    def __call__(self, iteration: int, t: float) -> bool:
+        return iteration % self.every == 0
+
+
+class TimeInterval:
+    """Fires whenever simulated time crosses a multiple of ``interval`` seconds
+    (Oceananigans TimeInterval)."""
+
+    def __init__(self, interval: float):
+        self.interval = float(interval)
+        self._next = 0.0
+
+    def __call__(self, iteration: int, t: float) -> bool:
+        if t + 1e-9 >= self._next:
+            self._next = (t // self.interval + 1) * self.interval
+            return True
+        return False
+
+
+@dataclasses.dataclass
+class TimeStepWizard:
+    """CFL-based Δt adaptation: new Δt = min(max_change·Δt, cfl-limited Δt, max_dt)
+    (reference usage ``TimeStepWizard(cfl=0.3, max_change=1.1, max_Δt=3hours)``,
+    examples/bickley_jet.jl:75)."""
+
+    cfl: float = 0.3
+    max_change: float = 1.1
+    min_change: float = 0.5
+    max_dt: float = float("inf")
+
+    def update(self, model: HydrostaticModel, state: State, old_dt: float) -> float:
+        cfl_dt = float(compute_cfl_dt(model, state, cfl=self.cfl))
+        new_dt = min(self.max_change * old_dt, cfl_dt)
+        new_dt = max(new_dt, self.min_change * old_dt)
+        return min(new_dt, self.max_dt)
+
+
+def progress_callback(log=print):
+    """The reference's progress printout: time, Δt, max velocities
+    (examples/bickley_jet.jl:84-87)."""
+
+    def cb(sim: "Simulation"):
+        s = sim.state
+        umax = float(jnp.max(jnp.abs(s.u)))
+        vmax = float(jnp.max(jnp.abs(s.v)))
+        log(
+            f"iter {int(sim.iteration):6d}  t={sim.time/86400.0:9.3f} d  "
+            f"dt={sim.dt:8.1f} s  velocity: {umax:.2e} {vmax:.2e}"
+        )
+
+    return cb
+
+
+class Simulation:
+    """Python driver around the jitted step function.
+
+    Callbacks are (schedule, fn) pairs; ``fn(sim)`` runs on the host and may read the
+    state (triggering a device sync) or mutate ``sim.dt`` (the TimeStepWizard path).
+    Output writers attach the same way.
+    """
+
+    def __init__(self, model: HydrostaticModel, state: State, dt: float,
+                 stop_time: float = float("inf"), stop_iteration: int = 2**62):
+        self.model = model
+        self.state = state
+        self.dt = float(dt)
+        self.stop_time = float(stop_time)
+        self.stop_iteration = int(stop_iteration)
+        self.callbacks: list[tuple[Any, Callable]] = []
+        self._step = jax.jit(step)
+        self.wall_start = None
+
+    @property
+    def iteration(self) -> int:
+        return int(self.state.iteration)
+
+    @property
+    def time(self) -> float:
+        return float(self.state.t)
+
+    def add_callback(self, fn: Callable, schedule) -> None:
+        self.callbacks.append((schedule, fn))
+
+    def run(self) -> State:
+        """The reference's ``run!`` loop (examples/bickley_jet.jl:89)."""
+        self.wall_start = time.time()
+        it = self.iteration
+        t = self.time
+        while t < self.stop_time and it < self.stop_iteration:
+            # don't overshoot stop_time
+            dt = min(self.dt, max(self.stop_time - t, 1e-12)) if self.stop_time < float("inf") else self.dt
+            self.state = self._step(self.model, self.state, dt)
+            it += 1
+            t += dt
+            for schedule, fn in self.callbacks:
+                if schedule(it, t):
+                    fn(self)
+        jax.block_until_ready(self.state)
+        return self.state
