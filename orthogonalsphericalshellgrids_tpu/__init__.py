@@ -13,6 +13,23 @@ two concepts are the core exports, alongside the model/simulation layer that the
 reference delegates to Oceananigans.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: on a remote-compile TPU tunnel every fresh process
+# otherwise pays multi-second compiles for each computation; the cache makes repeat
+# runs (tests, benchmarks, restarts) warm-start.
+try:  # pragma: no cover - best effort, environment dependent
+    import jax as _jax
+
+    if getattr(_jax.config, "jax_compilation_cache_dir", None) in (None, ""):
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("OSG_COMPILE_CACHE", _os.path.expanduser("~/.cache/jax_osg")),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 from .grids.geometry import R_EARTH
 from .grids.tripolar import TripolarGrid, build_tripolar_arrays, with_halo
 from .ops.location import CC, CF, FC, FF, default_zipper_sign, sign_for_field_name

@@ -22,7 +22,6 @@ import numpy as np
 
 from ..ops import zipper
 from ..ops.location import CC
-from ..ops.operators import shift_m
 from .tripolar import TripolarGrid
 
 __all__ = ["ImmersedBoundary", "make_immersed_boundary"]
@@ -82,13 +81,19 @@ def make_immersed_boundary(grid: TripolarGrid, bottom_height: Callable | Any) ->
     bot = zipper.fill_halos(bot, CC, 1, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
                             south="zero_gradient", xp=np)
 
-    bottom = jnp.asarray(bot, dtype=grid.dtype)
-    h_c = jnp.clip(z1 - jnp.maximum(bottom, z0), 0.0, None)
-    h_u = jnp.minimum(h_c, shift_m(h_c, -1))
-    h_v = jnp.minimum(h_c, shift_m(h_c, -2))
-    one = jnp.asarray(1.0, grid.dtype)
-    zero = jnp.asarray(0.0, grid.dtype)
-    mask_c = jnp.where(h_c > 0, one, zero)
-    mask_u = jnp.where(h_u > 0, one, zero)
-    mask_v = jnp.where(h_v > 0, one, zero)
-    return ImmersedBoundary(bottom, h_c, h_u, h_v, mask_c, mask_u, mask_v)
+    # All derived arrays computed host-side in f64, shipped as ONE stacked transfer and
+    # split in ONE jit (remote-TPU eager ops pay a compile round-trip each).
+    h_c = np.clip(z1 - np.maximum(bot, z0), 0.0, None)
+    h_u = np.minimum(h_c, np.roll(h_c, 1, axis=-1))
+    h_v = np.minimum(h_c, np.roll(h_c, 1, axis=-2))
+    mask_c = (h_c > 0).astype(np.float64)
+    mask_u = (h_u > 0).astype(np.float64)
+    mask_v = (h_v > 0).astype(np.float64)
+
+    import jax
+
+    stacked = jnp.asarray(
+        np.stack([bot, h_c, h_u, h_v, mask_c, mask_u, mask_v]), dtype=grid.dtype
+    )
+    parts = jax.jit(lambda s: tuple(s[i] for i in range(7)))(stacked)
+    return ImmersedBoundary(*parts)

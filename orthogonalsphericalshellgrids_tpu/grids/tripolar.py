@@ -357,7 +357,19 @@ class TripolarGrid:
             first_pole_longitude=first_pole_longitude,
         )
         meta = raw.pop("meta")
-        arrays = {k: jnp.asarray(v, dtype=dtype) for k, v in raw.items()}
+        # Ship all 2-D arrays as ONE stacked host->device transfer and split with ONE
+        # jitted unstack. On a remote-tunnel TPU with remote compilation, every eager
+        # op (including each individual slice) pays a multi-second compile round-trip —
+        # batching both the transfer and the split keeps grid construction fast.
+        import jax
+
+        names_2d = [k for k in _ARRAY_FIELDS if k not in ("z_f", "z_c")]
+        stacked = np.stack([raw[k] for k in names_2d]).astype(np.dtype(dtype), copy=False)
+        dev = jnp.asarray(stacked)
+        parts = jax.jit(lambda s: tuple(s[i] for i in range(len(names_2d))))(dev)
+        arrays = dict(zip(names_2d, parts))
+        arrays["z_f"] = jnp.asarray(raw["z_f"], dtype=dtype)
+        arrays["z_c"] = jnp.asarray(raw["z_c"], dtype=dtype)
         return TripolarGrid(**arrays, **meta)
 
     # ---- convenience ----

@@ -180,22 +180,38 @@ def make_model(
     ib_e = make_immersed_boundary(grid_ext, bottom_height)
 
     dt = grid.dtype
-    f_ff = (
-        2.0 * rotation_rate * jnp.sin(jnp.deg2rad(grid.phi_ff))
-        if coriolis else jnp.zeros_like(grid.phi_ff)
-    ).astype(dt)
+
+    # One fused jit for every derived array (eager ops on a remote TPU pay a compile
+    # round-trip each; this collapses ~10 compiles into one).
+    @jax.jit
+    def _derived(g_dx_fc, g_dy_cf, g_az_ff, g_az_cc, h_c, mask_c,
+                 ge_dx_fc, ge_dy_cf, ge_az_cc, phi_ff):
+        f_ff = (
+            2.0 * rotation_rate * jnp.sin(jnp.deg2rad(phi_ff))
+            if coriolis else jnp.zeros_like(phi_ff)
+        ).astype(dt)
+        return (
+            _inv(g_dx_fc), _inv(g_dy_cf), _inv(g_az_ff),
+            mask_c * _inv(g_az_cc * h_c),
+            _inv(ge_dx_fc), _inv(ge_dy_cf), _inv(ge_az_cc), f_ff,
+        )
+
+    (inv_dx_fc, inv_dy_cf, inv_az_ff, inv_vol_c,
+     inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff) = _derived(
+        grid.dx_fc, grid.dy_cf, grid.az_ff, grid.az_cc, ib.h_c, ib.mask_c,
+        grid_ext.dx_fc, grid_ext.dy_cf, grid_ext.az_cc, grid.phi_ff)
 
     return HydrostaticModel(
         grid=grid,
         grid_ext=grid_ext,
         ib=ib,
-        inv_dx_fc=_inv(grid.dx_fc),
-        inv_dy_cf=_inv(grid.dy_cf),
-        inv_az_ff=_inv(grid.az_ff),
-        inv_vol_c=ib.mask_c * _inv(grid.az_cc * ib.h_c),
-        inv_dx_fc_e=_inv(grid_ext.dx_fc),
-        inv_dy_cf_e=_inv(grid_ext.dy_cf),
-        inv_az_cc_e=_inv(grid_ext.az_cc),
+        inv_dx_fc=inv_dx_fc,
+        inv_dy_cf=inv_dy_cf,
+        inv_az_ff=inv_az_ff,
+        inv_vol_c=inv_vol_c,
+        inv_dx_fc_e=inv_dx_fc_e,
+        inv_dy_cf_e=inv_dy_cf_e,
+        inv_az_cc_e=inv_az_cc_e,
         dy_fc_e=grid_ext.dy_fc,
         dx_cf_e=grid_ext.dx_cf,
         h_u_e=ib_e.h_u,
@@ -228,20 +244,30 @@ def initial_state(model: HydrostaticModel, u=None, v=None, c=None, eta=None) -> 
         full[g.interior2d] = out[g.interior2d]
         return jnp.asarray(full, dt)
 
-    u0 = sample_full(u, g.lam_fc, g.phi_fc) * model.ib.mask_u
-    v0 = sample_full(v, g.lam_cf, g.phi_cf) * model.ib.mask_v
-    c0 = sample_full(c, g.lam_cc, g.phi_cc) * model.ib.mask_c
-    eta0 = sample_full(eta, g.lam_cc, g.phi_cc) * model.ib.mask_c
+    u_raw = sample_full(u, g.lam_fc, g.phi_fc)
+    v_raw = sample_full(v, g.lam_cf, g.phi_cf)
+    c_raw = sample_full(c, g.lam_cc, g.phi_cc)
+    eta_raw = sample_full(eta, g.lam_cc, g.phi_cc)
 
-    U0 = embed_ext(g, model.grid_ext, model.ib.h_u * u0)
-    V0 = embed_ext(g, model.grid_ext, model.ib.h_v * v0)
-    eta_e = embed_ext(g, model.grid_ext, eta0)
-    zero = jnp.zeros(g.shape2d, dt)
-    return State(
-        u=u0, v=v0, eta=eta_e, U=U0, V=V0, c=c0,
-        Gu=zero, Gv=zero, Gc=zero,
-        t=jnp.zeros((), dt), iteration=jnp.zeros((), jnp.int32),
-    )
+    @jax.jit
+    def _assemble(u_raw, v_raw, c_raw, eta_raw, mask_u, mask_v, mask_c, h_u, h_v):
+        u0 = u_raw * mask_u
+        v0 = v_raw * mask_v
+        c0 = c_raw * mask_c
+        eta0 = eta_raw * mask_c
+        U0 = embed_ext(g, model.grid_ext, h_u * u0)
+        V0 = embed_ext(g, model.grid_ext, h_v * v0)
+        eta_e = embed_ext(g, model.grid_ext, eta0)
+        zero = jnp.zeros(g.shape2d, dt)
+        return State(
+            u=u0, v=v0, eta=eta_e, U=U0, V=V0, c=c0,
+            Gu=zero, Gv=zero, Gc=zero,
+            t=jnp.zeros((), dt), iteration=jnp.zeros((), jnp.int32),
+        )
+
+    return _assemble(u_raw, v_raw, c_raw, eta_raw,
+                     model.ib.mask_u, model.ib.mask_v, model.ib.mask_c,
+                     model.ib.h_u, model.ib.h_v)
 
 
 # --------------------------------------------------------------------------------------
