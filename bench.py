@@ -1,0 +1,68 @@
+"""Headline benchmark: Bickley jet on the 1/4-degree (1440x680) tripolar grid,
+single chip — BASELINE.md's primary metric (grid-points/s/chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md: "published: none").
+The denominator used here is 5.0e6 grid-points/s — a single-core CPU estimate for the
+reference stack (Julia/Oceananigans WENO vector-invariant + 30-substep split-explicit
+free surface typically advances a few million points/s/core on one CPU core; the
+reference's serial example is CPU or single GPU). Treat vs_baseline as indicative, not
+as a published-number comparison.
+
+Timing protocol: steady-state steps only (construction excluded — the remote TPU
+tunnel stalls intermittently; see .claude/skills/verify/SKILL.md), with warmup, over
+enough steps to amortize dispatch.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+ASSUMED_REFERENCE_POINTS_PER_S = 5.0e6
+
+
+def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):
+    import jax
+
+    sys.path.insert(0, ".")
+    from examples.bickley_jet import build
+    from orthogonalsphericalshellgrids_tpu.models import step
+
+    model, state = build(nx=nx, ny=ny, substeps=substeps)
+    sj = jax.jit(step, donate_argnums=(1,))
+
+    dt = 60.0
+    s = state
+    for _ in range(warmup):
+        s = sj(model, s, dt)
+    jax.block_until_ready(s)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s = sj(model, s, dt)
+    jax.block_until_ready(s)
+    elapsed = time.perf_counter() - t0
+
+    import jax.numpy as jnp
+
+    assert bool(jnp.all(jnp.isfinite(s.u))), "benchmark produced non-finite fields"
+
+    points_per_s = nx * ny * steps / elapsed
+    print(json.dumps({
+        "metric": "grid-points/s/chip (Bickley jet, 1/4deg tripolar, WENO-5 + split-explicit substeps=30)",
+        "value": round(points_per_s, 1),
+        "unit": "grid-points/s/chip",
+        "vs_baseline": round(points_per_s / ASSUMED_REFERENCE_POINTS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    kw = {}
+    for arg in sys.argv[1:]:
+        k, v = arg.lstrip("-").split("=")
+        kw[k] = int(v)
+    main(**kw)

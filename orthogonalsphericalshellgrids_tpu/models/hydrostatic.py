@@ -39,6 +39,7 @@ import numpy as np
 from ..grids.immersed import ImmersedBoundary, make_immersed_boundary
 from ..grids.tripolar import TripolarGrid, with_halo
 from ..ops import zipper
+from ..ops.spmd import fill_halos_spmd
 from ..ops.advection import upwind_select, weno5_centers_from_faces, weno5_faces_from_centers
 from ..ops.location import CC, CF, FC
 from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
@@ -128,9 +129,13 @@ for _cls, _data, _meta in [
 # Halo fill helpers
 # --------------------------------------------------------------------------------------
 
-def _fill(grid: TripolarGrid, A, loc, sign):
-    return zipper.fill_halos(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
-                             south="zero_gradient", xp=jnp)
+def _fill(grid: TripolarGrid, A, loc, sign, spmd=None):
+    """Serial or SPMD halo fill; ``spmd`` (ops.spmd.Spmd) selects the sharded path
+    with ppermute neighbor exchange inside shard_map."""
+    if spmd is None or spmd.n_shards == 1:
+        return zipper.fill_halos(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
+                                 south="zero_gradient", xp=jnp)
+    return fill_halos_spmd(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy, spmd)
 
 
 def embed_ext(grid: TripolarGrid, grid_ext: TripolarGrid, A):
@@ -341,17 +346,21 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt):
     return eta_a, U_a, V_a
 
 
-def step(model: HydrostaticModel, state: State, dt) -> State:
+def step(model: HydrostaticModel, state: State, dt, spmd=None) -> State:
     """One full time step (reference call stack SURVEY.md §3.4): halo fills, WENO
     tendencies, quasi-AB2 extrapolation, communication-free barotropic subcycling,
-    barotropic-velocity corrector (single-layer: u = U/H), tracer update."""
+    barotropic-velocity corrector (single-layer: u = U/H), tracer update.
+
+    With ``spmd`` set (inside shard_map over a y mesh) the halo fills become ppermute
+    neighbor exchanges; everything else — including the comm-free barotropic loop —
+    is unchanged local code (model metadata carries the LOCAL Ny)."""
     g = model.grid
     ge = model.grid_ext
     dt = jnp.asarray(dt, model.dtype)
 
-    u = _fill(g, state.u, FC, -1)
-    v = _fill(g, state.v, CF, -1)
-    c = _fill(g, state.c, CC, 1)
+    u = _fill(g, state.u, FC, -1, spmd)
+    v = _fill(g, state.v, CF, -1, spmd)
+    c = _fill(g, state.c, CC, 1, spmd)
 
     Gu, Gv, Gc = tendencies(model, u, v, c)
 
@@ -363,12 +372,12 @@ def step(model: HydrostaticModel, state: State, dt) -> State:
     Gc_s = w1 * Gc - w2 * state.Gc
 
     # Depth-integrated barotropic forcing, folded/wrapped valid through the extended rows
-    GU = _fill(ge, embed_ext(g, ge, model.ib.h_u * Gu_s), FC, -1)
-    GV = _fill(ge, embed_ext(g, ge, model.ib.h_v * Gv_s), CF, -1)
+    GU = _fill(ge, embed_ext(g, ge, model.ib.h_u * Gu_s), FC, -1, spmd)
+    GV = _fill(ge, embed_ext(g, ge, model.ib.h_v * Gv_s), CF, -1, spmd)
 
-    eta = _fill(ge, state.eta, CC, 1)
-    U = _fill(ge, state.U, FC, -1)
-    V = _fill(ge, state.V, CF, -1)
+    eta = _fill(ge, state.eta, CC, 1, spmd)
+    U = _fill(ge, state.U, FC, -1, spmd)
+    V = _fill(ge, state.V, CF, -1, spmd)
 
     eta_a, U_a, V_a = barotropic_substeps(model, eta, U, V, GU, GV, dt)
 

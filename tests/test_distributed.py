@@ -1,0 +1,129 @@
+"""Distributed-layer tests on a virtual 8-device CPU mesh (SURVEY.md §4 test plan):
+sharded-vs-serial equivalence of the full step, halo-exchange correctness, and the
+rank-dependent boundary logic (fold only on the top shard)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import orthogonalsphericalshellgrids_tpu as osg
+from orthogonalsphericalshellgrids_tpu.models import (
+    SplitExplicitFreeSurface, initial_state, make_model, step,
+)
+from orthogonalsphericalshellgrids_tpu.parallel import (
+    distribute, gather_state, make_mesh, sharded_step_fn,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def small_model(ny=48, substeps=6):
+    grid = osg.TripolarGrid.make((32, ny, 1), dtype=jnp.float64,
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, 0.0)
+
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=substeps),
+                       bottom_height=bottom)
+
+    def ui(lam, phi):
+        return 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2
+
+    def vi(lam, phi):
+        return 0.05 * np.sin(np.deg2rad(lam) * 3) * np.cos(np.deg2rad(phi) * 2)
+
+    def ci(lam, phi):
+        return np.sin(2 * np.pi * np.deg2rad(phi) * 8 / 167.0)
+
+    return model, initial_state(model, u=ui, v=vi, c=ci)
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_sharded_matches_serial(n):
+    """The full sharded step (ppermute exchange + top-shard fold + comm-free barotropic
+    loop) must reproduce the serial step bit-for-bit in float64 on every interior
+    point, for several steps."""
+    model, state = small_model()
+    mesh = make_mesh(n)
+    dist_model, dist_state = distribute(model, state, mesh)
+    fn = sharded_step_fn(mesh, dist_model)
+    sj = jax.jit(step)
+
+    s_serial = state
+    s_dist = dist_state
+    for _ in range(5):
+        s_serial = sj(model, s_serial, 120.0)
+        s_dist = fn(s_dist, 120.0)
+
+    gathered = gather_state(s_dist, model, n)
+    g, ge = model.grid, model.grid_ext
+    for name, grid_of in [("u", g), ("v", g), ("c", g), ("eta", ge), ("U", ge), ("V", ge)]:
+        a = np.asarray(grid_of.interior(getattr(s_serial, name)))
+        b = np.asarray(grid_of.interior(getattr(gathered, name)))
+        np.testing.assert_allclose(a, b, rtol=0, atol=0, err_msg=name)
+
+
+def test_distribute_requires_divisibility():
+    model, state = small_model(ny=48)
+    mesh = make_mesh(5)
+    with pytest.raises(ValueError):
+        distribute(model, state, mesh)
+
+
+def test_halo_exchange_roundtrip():
+    """fill_halos_spmd on a y-linear field: north/south halos must hold the neighbor's
+    interior rows; shard 0 south is zero-gradient; top shard north is folded."""
+    from functools import partial
+
+    from orthogonalsphericalshellgrids_tpu.ops.location import CC
+    from orthogonalsphericalshellgrids_tpu.ops.spmd import Spmd, fill_halos_spmd
+    from jax.sharding import PartitionSpec as P
+
+    n, ny, Nx, Hx, Hy = 4, 6, 8, 2, 2
+    mesh = make_mesh(n)
+    spmd = Spmd("y", n)
+
+    # global j index as field value (interior j = 0..n*ny-1)
+    blocks = []
+    for k in range(n):
+        A = np.zeros((ny + 2 * Hy, Nx + 2 * Hx))
+        A[Hy : Hy + ny, Hx : Hx + Nx] = (
+            np.arange(k * ny, (k + 1) * ny)[:, None] + np.zeros((1, Nx))
+        )
+        blocks.append(A)
+    stacked = np.concatenate(blocks, axis=0)
+
+    fn = jax.jit(
+        jax.shard_map(
+            partial(fill_halos_spmd, loc=CC, sign=1, Nx=Nx, ny=ny, Hx=Hx, Hy=Hy, spmd=spmd),
+            mesh=mesh, in_specs=P("y", None), out_specs=P("y", None),
+        )
+    )
+    out = np.asarray(fn(jnp.asarray(stacked)))
+
+    rows = ny + 2 * Hy
+    for k in range(n):
+        blk = out[k * rows : (k + 1) * rows]
+        if k > 0:  # south halo = previous shard's top interior rows
+            np.testing.assert_array_equal(blk[:Hy, Hx], np.arange(k * ny - Hy, k * ny))
+        else:  # zero-gradient
+            np.testing.assert_array_equal(blk[:Hy, Hx], [0, 0])
+        if k < n - 1:  # north halo = next shard's bottom interior rows
+            np.testing.assert_array_equal(
+                blk[Hy + ny :, Hx], np.arange((k + 1) * ny, (k + 1) * ny + Hy)
+            )
+        else:  # folded: halo row Ny+j <- row Ny-j (global rows), center-y duplication
+            Nglob = n * ny
+            np.testing.assert_array_equal(
+                blk[Hy + ny :, Hx], [Nglob - 2, Nglob - 3]
+            )
