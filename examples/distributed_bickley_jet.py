@@ -1,0 +1,65 @@
+"""Distributed Bickley jet: the reference's examples/distributed_bickley_jet.jl
+(320x240, y-partitioned over 4 ranks), TPU-native.
+
+Instead of MPI ranks, the state is y-sharded over a JAX device mesh; the step runs
+under shard_map with ppermute halo exchange (parallel/distributed.py). On a machine
+without multiple accelerators, run with virtual CPU devices:
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+  python examples/distributed_bickley_jet.py --platform cpu --ndev 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nx", type=int, default=320)
+    p.add_argument("--ny", type=int, default=240)
+    p.add_argument("--ndev", type=int, default=4)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--dt", type=float, default=120.0)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from examples.bickley_jet import build
+    from orthogonalsphericalshellgrids_tpu.models.diagnostics import max_speeds
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute, gather_state, make_mesh, sharded_step_fn,
+    )
+
+    model, state = build(args.nx, args.ny, first_pole_longitude=45.0,
+                         north_poles_latitude=35.0)
+    mesh = make_mesh(args.ndev)
+    dist_model, dist_state = distribute(model, state, mesh)
+    fn = sharded_step_fn(mesh, dist_model)
+
+    s = fn(dist_state, args.dt)  # compile
+    jax.block_until_ready(s)
+    t0 = time.time()
+    for i in range(args.steps):
+        s = fn(s, args.dt)
+        if (i + 1) % 50 == 0:
+            g = gather_state(s, model, args.ndev)
+            umax, vmax = max_speeds(model, g)
+            print(f"iter {i+1}: velocity {float(umax):.2e} {float(vmax):.2e}")
+    jax.block_until_ready(s)
+    el = time.time() - t0
+    print(f"{args.steps} steps on {args.ndev} devices: {el:.2f}s "
+          f"({args.nx*args.ny*args.steps/el/1e6:.1f} M gridpoint-steps/s)")
+
+
+if __name__ == "__main__":
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    main()

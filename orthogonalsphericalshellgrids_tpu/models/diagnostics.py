@@ -1,0 +1,53 @@
+"""Diagnostics: vertical vorticity, kinetic energy, CFL numbers.
+
+The reference's diagnostic surface is ``VerticalVorticityField`` (SURVEY.md O9,
+examples/bickley_jet.jl:57) plus the progress-callback max-velocity readouts. All
+diagnostics here are pure jitted functions of (model, state)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.location import CC, CF, FC
+from ..ops.operators import ixc, iyc
+from .hydrostatic import HydrostaticModel, State, _fill, vorticity
+
+__all__ = ["vertical_vorticity", "kinetic_energy", "max_speeds", "advective_cfl"]
+
+
+@jax.jit
+def vertical_vorticity(model: HydrostaticModel, state: State):
+    """ζ at FF from the prognostic velocities (halo-filled internally) — the
+    reference's VerticalVorticityField."""
+    g = model.grid
+    u = _fill(g, state.u, FC, -1)
+    v = _fill(g, state.v, CF, -1)
+    return vorticity(model, u, v)
+
+
+@jax.jit
+def kinetic_energy(model: HydrostaticModel, state: State):
+    """KE per unit mass at cell centers: (ℑx(u²) + ℑy(v²)) / 2."""
+    g = model.grid
+    u = _fill(g, state.u, FC, -1)
+    v = _fill(g, state.v, CF, -1)
+    return 0.5 * (ixc(u * u) + iyc(v * v)) * model.ib.mask_c
+
+
+@jax.jit
+def max_speeds(model: HydrostaticModel, state: State):
+    """(max|u|, max|v|) over the interior — the progress-callback readout."""
+    g = model.grid
+    return (
+        jnp.max(jnp.abs(g.interior(state.u))),
+        jnp.max(jnp.abs(g.interior(state.v))),
+    )
+
+
+@jax.jit
+def advective_cfl(model: HydrostaticModel, state: State, dt):
+    """max over cells of (|u|/Δx + |v|/Δy)·Δt."""
+    g = model.grid
+    speed = jnp.abs(state.u) * model.inv_dx_fc + jnp.abs(state.v) * model.inv_dy_cf
+    return jnp.max(g.interior(speed)) * dt

@@ -40,7 +40,8 @@ from ..grids.immersed import ImmersedBoundary, make_immersed_boundary
 from ..grids.tripolar import TripolarGrid, with_halo
 from ..ops import zipper
 from ..ops.spmd import fill_halos_spmd
-from ..ops.advection import upwind_select, weno5_centers_from_faces, weno5_faces_from_centers
+from ..ops.advection import (centered_faces_from_centers, upwind_select,
+                             weno5_centers_from_faces, weno5_faces_from_centers)
 from ..ops.location import CC, CF, FC
 from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
 from .split_explicit import SplitExplicitFreeSurface
@@ -96,6 +97,8 @@ class HydrostaticModel:
     mask_v_e: Any
     # barotropic averaging weights (device array)
     weights: Any
+    # stacked barotropic operands for the Pallas time-tiled kernel (9, Ye, Xe)
+    baro_pack: Any
     # coriolis frequency at FF points (0 array when disabled)
     f_ff: Any
     # static metadata
@@ -103,6 +106,9 @@ class HydrostaticModel:
     fractional_dt: float
     g: float
     coriolis: bool
+    use_pallas: bool
+    tracer_advection: str
+    momentum_advection: str
 
     # convenience
     @property
@@ -114,9 +120,10 @@ _MODEL_ARRAYS = [
     "grid", "grid_ext", "ib",
     "inv_dx_fc", "inv_dy_cf", "inv_az_ff", "inv_vol_c",
     "inv_dx_fc_e", "inv_dy_cf_e", "inv_az_cc_e", "dy_fc_e", "dx_cf_e",
-    "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "f_ff",
+    "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "f_ff",
 ]
-_MODEL_META = ["substeps", "fractional_dt", "g", "coriolis"]
+_MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
+               "tracer_advection", "momentum_advection"]
 
 for _cls, _data, _meta in [
     (State, [f.name for f in dataclasses.fields(State)], []),
@@ -163,6 +170,9 @@ def make_model(
     bottom_height=None,
     coriolis: bool = False,
     rotation_rate: float = 7.292115e-5,
+    use_pallas: bool | None = None,
+    tracer_advection: str = "weno5",
+    momentum_advection: str = "weno_vector_invariant",
 ) -> HydrostaticModel:
     """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
     rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
@@ -188,23 +198,39 @@ def make_model(
 
     # One fused jit for every derived array (eager ops on a remote TPU pay a compile
     # round-trip each; this collapses ~10 compiles into one).
+    g_accel = float(free_surface.gravitational_acceleration)
+
     @jax.jit
     def _derived(g_dx_fc, g_dy_cf, g_az_ff, g_az_cc, h_c, mask_c,
-                 ge_dx_fc, ge_dy_cf, ge_az_cc, phi_ff):
+                 ge_dx_fc, ge_dy_cf, ge_az_cc, phi_ff,
+                 ge_dy_fc, ge_dx_cf, h_u_e, h_v_e, mask_u_e, mask_v_e):
         f_ff = (
             2.0 * rotation_rate * jnp.sin(jnp.deg2rad(phi_ff))
             if coriolis else jnp.zeros_like(phi_ff)
         ).astype(dt)
+        inv_dx_fc_e = _inv(ge_dx_fc)
+        inv_dy_cf_e = _inv(ge_dy_cf)
+        inv_az_cc_e = _inv(ge_az_cc)
+        # stacked operands for the Pallas barotropic kernel (ops/pallas_baro.py)
+        baro_pack = jnp.stack([
+            ge_dy_fc, ge_dx_cf, inv_az_cc_e, inv_dx_fc_e, inv_dy_cf_e,
+            g_accel * h_u_e, g_accel * h_v_e, mask_u_e, mask_v_e,
+        ])
         return (
             _inv(g_dx_fc), _inv(g_dy_cf), _inv(g_az_ff),
             mask_c * _inv(g_az_cc * h_c),
-            _inv(ge_dx_fc), _inv(ge_dy_cf), _inv(ge_az_cc), f_ff,
+            inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack,
         )
 
     (inv_dx_fc, inv_dy_cf, inv_az_ff, inv_vol_c,
-     inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff) = _derived(
+     inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack) = _derived(
         grid.dx_fc, grid.dy_cf, grid.az_ff, grid.az_cc, ib.h_c, ib.mask_c,
-        grid_ext.dx_fc, grid_ext.dy_cf, grid_ext.az_cc, grid.phi_ff)
+        grid_ext.dx_fc, grid_ext.dy_cf, grid_ext.az_cc, grid.phi_ff,
+        grid_ext.dy_fc, grid_ext.dx_cf, ib_e.h_u, ib_e.h_v, ib_e.mask_u, ib_e.mask_v)
+
+    if use_pallas is None:
+        backend = jax.default_backend()
+        use_pallas = backend not in ("cpu", "gpu")
 
     return HydrostaticModel(
         grid=grid,
@@ -224,11 +250,15 @@ def make_model(
         mask_u_e=ib_e.mask_u,
         mask_v_e=ib_e.mask_v,
         weights=jnp.asarray(free_surface.weights, dtype=dt),
+        baro_pack=baro_pack,
         f_ff=f_ff,
         substeps=free_surface.substeps,
         fractional_dt=float(free_surface.fractional_dt),
         g=float(free_surface.gravitational_acceleration),
         coriolis=coriolis,
+        use_pallas=bool(use_pallas),
+        tracer_advection=tracer_advection,
+        momentum_advection=momentum_advection,
     )
 
 
@@ -295,25 +325,44 @@ def tendencies(model: HydrostaticModel, u, v, c):
     zeta = vorticity(model, u, v)
     q = zeta + model.f_ff if model.coriolis else zeta
 
+    # vorticity reconstruction scheme (the reference's WENOVectorInvariant upwinds the
+    # vorticity stencil; 'vector_invariant' uses centered/enstrophy-style interpolation)
+    upwind_q = model.momentum_advection == "weno_vector_invariant"
+
     # --- u-equation (FC): + q̃ v̂ − δxᶠ(K)/Δxᶠᶜ
     v_hat = ixf(iyc(g.dx_cf * v)) * model.inv_dx_fc
-    zl, zr = weno5_centers_from_faces(q, axis=-2)
-    q_at_u = upwind_select(v_hat, zl, zr)
+    if upwind_q:
+        zl, zr = weno5_centers_from_faces(q, axis=-2)
+        q_at_u = upwind_select(v_hat, zl, zr)
+    else:
+        q_at_u = iyc(q)
     ke = 0.5 * (ixc(u * u) + iyc(v * v))
     Gu = (q_at_u * v_hat - dxf(ke) * model.inv_dx_fc) * ib.mask_u
 
     # --- v-equation (CF): − q̃ û − δyᶠ(K)/Δyᶜᶠ
     u_hat = iyf(ixc(g.dy_fc * u)) * model.inv_dy_cf
-    zl, zr = weno5_centers_from_faces(q, axis=-1)
-    q_at_v = upwind_select(u_hat, zl, zr)
+    if upwind_q:
+        zl, zr = weno5_centers_from_faces(q, axis=-1)
+        q_at_v = upwind_select(u_hat, zl, zr)
+    else:
+        q_at_v = ixc(q)
     Gv = (-q_at_v * u_hat - dyf(ke) * model.inv_dy_cf) * ib.mask_v
 
-    # --- tracer (CC): flux-form WENO-5; transports carry the column depth so the
-    # advected content is conserved against the free surface divergence
-    cl, cr = weno5_faces_from_centers(c, axis=-1)
-    fx = u * ib.h_u * g.dy_fc * upwind_select(u, cl, cr)
-    cl, cr = weno5_faces_from_centers(c, axis=-2)
-    fy = v * ib.h_v * g.dx_cf * upwind_select(v, cl, cr)
+    # --- tracer (CC): flux-form advection (WENO-5 upwind or centered, the reference's
+    # FluxFormAdvection(WENO/Centered) options); transports carry the column depth so
+    # the advected content is conserved against the free-surface divergence
+    if model.tracer_advection == "weno5":
+        cl, cr = weno5_faces_from_centers(c, axis=-1)
+        cx = upwind_select(u, cl, cr)
+        cl, cr = weno5_faces_from_centers(c, axis=-2)
+        cy = upwind_select(v, cl, cr)
+    elif model.tracer_advection == "centered":
+        cx = centered_faces_from_centers(c, axis=-1)
+        cy = centered_faces_from_centers(c, axis=-2)
+    else:
+        raise ValueError(f"unknown tracer_advection {model.tracer_advection!r}")
+    fx = u * ib.h_u * g.dy_fc * cx
+    fy = v * ib.h_v * g.dx_cf * cy
     Gc = -(dxc(fx) + dyc(fy)) * model.inv_vol_c
 
     return Gu, Gv, Gc
@@ -323,8 +372,20 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt):
     """SM05-averaged forward-backward substepping of (η, U, V) on the extended-halo
     grid. No y-halo communication inside the loop — validity shrinks one row per
     substep into the widened halo (the reference's 1:Ny+Hy−1 kernel-range trick,
-    test/runtests.jl:66). The x-wrap is local and re-applied every substep."""
+    test/runtests.jl:66). The x-wrap is local and re-applied every substep.
+
+    On TPU backends the whole loop runs as ONE time-tiled Pallas kernel
+    (ops/pallas_baro.py); the XLA scan below is the reference implementation and the
+    CPU/parity oracle."""
     ge = model.grid_ext
+    if model.use_pallas:
+        from ..ops.pallas_baro import barotropic_substeps_pallas
+
+        dtau = model.fractional_dt * dt
+        return barotropic_substeps_pallas(
+            model.baro_pack, eta, U, V, GU, GV, dtau, model.weights,
+            ge.Nx, ge.Hx,
+        )
     dtau = model.fractional_dt * dt
     gH_u = model.g * model.h_u_e
     gH_v = model.g * model.h_v_e
@@ -342,7 +403,11 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt):
 
     zero = jnp.zeros_like(eta)
     init = (eta, U, V, zero, jnp.zeros_like(U), jnp.zeros_like(V))
-    (_, _, _, eta_a, U_a, V_a), _ = jax.lax.scan(substep, init, model.weights)
+    # Fully unrolled: the loop is short (≈0.73·substeps) and unrolling lets XLA fuse
+    # across substep boundaries instead of paying a loop-carried barrier per substep.
+    (_, _, _, eta_a, U_a, V_a), _ = jax.lax.scan(
+        substep, init, model.weights, unroll=True
+    )
     return eta_a, U_a, V_a
 
 

@@ -1,0 +1,56 @@
+"""Pallas-kernel parity tests (interpret mode on CPU): the time-tiled barotropic
+kernel must reproduce the XLA scan implementation on the valid interior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import orthogonalsphericalshellgrids_tpu as osg
+from orthogonalsphericalshellgrids_tpu.models import (
+    SplitExplicitFreeSurface, initial_state, make_model,
+)
+from orthogonalsphericalshellgrids_tpu.models import hydrostatic as H
+from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC
+from orthogonalsphericalshellgrids_tpu.ops.pallas_baro import barotropic_substeps_pallas
+
+
+@pytest.mark.parametrize("shape,substeps", [((48, 40), 12), ((64, 96), 6)])
+def test_barotropic_pallas_matches_xla(shape, substeps):
+    nx, ny = shape
+    grid = osg.TripolarGrid.make((nx, ny, 1), dtype=jnp.float32,
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        return np.where(phi < -78, 1.0, 0.0)
+
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=substeps),
+                       bottom_height=bottom, use_pallas=False)
+    state = initial_state(
+        model,
+        u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi: 0.1 * np.sin(np.deg2rad(lam) * 3),
+        eta=lambda lam, phi: 0.01 * np.cos(np.deg2rad(lam) * 2) * np.cos(np.deg2rad(phi) * 3),
+    )
+
+    ge = model.grid_ext
+    eta = H._fill(ge, state.eta, CC, 1)
+    U = H._fill(ge, state.U, FC, -1)
+    V = H._fill(ge, state.V, CF, -1)
+    GU = H._fill(ge, H.embed_ext(model.grid, ge, model.ib.h_u * jnp.ones_like(state.u) * 1e-6), FC, -1)
+    GV = H._fill(ge, H.embed_ext(model.grid, ge, model.ib.h_v * jnp.ones_like(state.v) * -2e-6), CF, -1)
+    dt = 120.0
+
+    ref = H.barotropic_substeps(model, eta, U, V, GU, GV, dt)
+
+    dtau = model.fractional_dt * dt
+    out = barotropic_substeps_pallas(
+        model.baro_pack, eta, U, V, GU, GV, dtau, model.weights,
+        ge.Nx, ge.Hx, interpret=True,
+    )
+
+    for name, a, b in zip(["eta", "U", "V"], ref, out):
+        ai = np.asarray(ge.interior(a))
+        bi = np.asarray(ge.interior(b))
+        np.testing.assert_allclose(ai, bi, rtol=2e-6, atol=1e-10, err_msg=name)

@@ -1,0 +1,95 @@
+"""Utility-layer tests: frame rotation round trip, checkpoint round trip,
+diagnostics, output writer round trip."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import orthogonalsphericalshellgrids_tpu as osg
+from orthogonalsphericalshellgrids_tpu.models import (
+    SplitExplicitFreeSurface, initial_state, make_model,
+)
+from orthogonalsphericalshellgrids_tpu.models.diagnostics import (
+    advective_cfl, kinetic_energy, max_speeds, vertical_vorticity,
+)
+from orthogonalsphericalshellgrids_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from orthogonalsphericalshellgrids_tpu.utils.rotation import to_latlon_frame, to_native_frame
+
+
+def make(ny=24, nx=32):
+    grid = osg.TripolarGrid.make((nx, ny, 1), dtype=jnp.float64)
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=8))
+    state = initial_state(
+        model,
+        u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi: 0.1 * np.cos(np.deg2rad(lam)),
+        c=lambda lam, phi: np.sin(np.deg2rad(phi)),
+    )
+    return model, state
+
+
+def test_rotation_round_trip():
+    """native -> latlon -> native must be the identity wherever the rotation is
+    defined (|d| = 1), mirroring the reference's convert_to_latlong_frame /
+    convert_to_native_frame pair (examples/convert_to_latlong_frame.jl)."""
+    model, _ = make()
+    g = model.grid
+    u = jnp.ones(g.shape2d)
+    v = 0.3 * jnp.ones(g.shape2d)
+    ull, vll = to_latlon_frame(g, u, v)
+    ub, vb = to_native_frame(g, ull, vll)
+    from orthogonalsphericalshellgrids_tpu.utils.rotation import rotation_angle
+
+    d1, d2 = rotation_angle(g)
+    defined = np.asarray(g.interior(d1**2 + d2**2)) > 0.99
+    np.testing.assert_allclose(
+        np.asarray(g.interior(ub))[defined], 1.0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.interior(vb))[defined], 0.3, atol=1e-10
+    )
+    # away from the poles the grid is nearly lat-lon: rotation ~ identity at the equator
+    phi = np.asarray(g.interior(g.phi_cc))
+    near_eq = np.abs(phi) < 10
+    np.testing.assert_allclose(np.asarray(g.interior(d1))[near_eq], 1.0, atol=0.05)
+
+
+def test_checkpoint_npz_round_trip(tmp_path):
+    model, state = make()
+    import jax
+
+    s1 = jax.jit(lambda m, s: s)(model, state)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, s1)
+    s2 = load_checkpoint(path, s1)
+    for leaf1, leaf2 in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+
+
+def test_checkpoint_orbax_round_trip(tmp_path):
+    try:
+        import orbax.checkpoint  # noqa
+    except Exception:
+        import pytest
+
+        pytest.skip("orbax not available")
+    model, state = make()
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(path, state)
+    s2 = load_checkpoint(path, state)
+    import jax
+
+    for leaf1, leaf2 in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+
+
+def test_diagnostics():
+    model, state = make()
+    z = vertical_vorticity(model, state)
+    ke = kinetic_energy(model, state)
+    umax, vmax = max_speeds(model, state)
+    cfl = advective_cfl(model, state, 60.0)
+    assert bool(jnp.all(jnp.isfinite(z)))
+    assert float(ke.min()) >= 0
+    assert 0.9 < float(umax) <= 1.2
+    assert float(cfl) > 0
