@@ -32,8 +32,12 @@ def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):
     from examples.bickley_jet import build
     from orthogonalsphericalshellgrids_tpu.models import step
 
+    from orthogonalsphericalshellgrids_tpu.models.hydrostatic import multi_step
+    from functools import partial
+
     model, state = build(nx=nx, ny=ny, substeps=substeps)
-    sj = jax.jit(step, donate_argnums=(1,))
+    block = 10  # steps per jitted call (the TimeStepWizard cadence)
+    sj = jax.jit(partial(multi_step, n_steps=block), donate_argnums=(1,))
 
     dt = 60.0
     s = state
@@ -46,6 +50,7 @@ def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):
         s = sj(model, s, dt)
     jax.block_until_ready(s)
     elapsed = time.perf_counter() - t0
+    steps = steps * block
 
     import jax.numpy as jnp
 

@@ -46,7 +46,7 @@ from ..ops.location import CC, CF, FC
 from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
 from .split_explicit import SplitExplicitFreeSurface
 
-__all__ = ["HydrostaticModel", "State", "make_model", "step", "compute_cfl_dt", "vorticity"]
+__all__ = ["HydrostaticModel", "State", "make_model", "step", "multi_step", "compute_cfl_dt", "vorticity"]
 
 _CHI = 0.1  # quasi-AB2 parameter (Oceananigans default)
 
@@ -211,11 +211,17 @@ def make_model(
         inv_dx_fc_e = _inv(ge_dx_fc)
         inv_dy_cf_e = _inv(ge_dy_cf)
         inv_az_cc_e = _inv(ge_az_cc)
-        # stacked operands for the Pallas barotropic kernel (ops/pallas_baro.py)
-        baro_pack = jnp.stack([
-            ge_dy_fc, ge_dx_cf, inv_az_cc_e, inv_dx_fc_e, inv_dy_cf_e,
-            g_accel * h_u_e, g_accel * h_v_e, mask_u_e, mask_v_e,
-        ])
+        # stacked operands for the Pallas barotropic kernel (ops/pallas_baro.py),
+        # pre-padded to the kernel's row/lane alignment so the hot path never copies
+        # the static planes
+        from ..ops.pallas_baro import pad_pack
+
+        baro_pack = pad_pack(jnp.stack([
+            ge_dy_fc, ge_dx_cf, inv_az_cc_e,
+            g_accel * h_u_e * inv_dx_fc_e,   # pressure-gradient factor / dtau
+            g_accel * h_v_e * inv_dy_cf_e,
+            mask_u_e, mask_v_e,
+        ]))
         return (
             _inv(g_dx_fc), _inv(g_dy_cf), _inv(g_az_ff),
             mask_c * _inv(g_az_cc * h_c),
@@ -468,3 +474,17 @@ def compute_cfl_dt(model: HydrostaticModel, state: State, cfl=0.3):
     speed = jnp.abs(state.u) * model.inv_dx_fc + jnp.abs(state.v) * model.inv_dy_cf
     smax = jnp.max(g.interior(speed))
     return jnp.where(smax > 0, cfl / smax, jnp.inf)
+
+
+def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=None) -> State:
+    """n_steps time steps in one traced computation (lax.scan).
+
+    Amortizes the per-dispatch overhead of a single jitted call across many steps —
+    the simulation driver and benchmark use this with the TimeStepWizard's cadence
+    (dt is constant within the scanned block, re-adapted between blocks)."""
+
+    def body(s, _):
+        return step(model, s, dt, spmd=spmd), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out

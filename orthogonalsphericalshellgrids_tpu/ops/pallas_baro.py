@@ -1,17 +1,19 @@
 """Pallas TPU kernel: the entire split-explicit barotropic substep loop, time-tiled.
 
 The barotropic loop is the hot loop of the model (SURVEY.md §3.4: the 30x substep
-subcycle) and is memory-bound as XLA kernels: every substep re-streams (η, U, V) plus
-metrics through HBM (~20 array traversals x ~21 substeps per baroclinic step).
+subcycle). As XLA kernels it is dispatch- and bandwidth-bound: every substep re-streams
+(η, U, V) plus metrics through HBM across ~10 kernel launches.
 
-This kernel exploits the same property the reference's widened-halo trick pins
+This kernel exploits the property the reference's widened-halo trick pins
 (test/runtests.jl:58-71): with halos of width M+1 the M substeps need NO exchange —
-validity just shrinks one row per substep. That makes the loop *temporally tileable*:
-load a row-tile (with M+1 rows of overlap) into VMEM once, run ALL substeps in VMEM,
-write the averaged results back once. HBM traffic drops from ~M full sweeps to ~1
-(times a (B+2M+2)/B read-amplification for the overlap), and ~10 kernels/substep
-collapse into a single launch — which matters doubly on backends with high per-kernel
-dispatch overhead.
+validity shrinks one row per substep. That makes the loop *temporally tileable*: load a
+row-tile (with M+1 rows of overlap, rounded to the sublane multiple) into VMEM once,
+run ALL substeps in VMEM, write the averaged results back once.
+
+Layout/geometry rules (Mosaic): window row starts are kept multiples of 8 (sublane) and
+the lane dimension is padded to a multiple of 128; the static metric planes are
+pre-padded once at model build (``pad_pack``) so the hot path only stacks/pads the five
+dynamic planes.
 
 Numerics are identical to models/hydrostatic.barotropic_substeps (same op order,
 forward-backward update, SM05-weight accumulation, per-substep periodic x-wrap);
@@ -27,30 +29,75 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["barotropic_substeps_pallas"]
+__all__ = ["barotropic_substeps_pallas", "pad_pack", "DEFAULT_BLOCK_ROWS"]
+
+DEFAULT_BLOCK_ROWS = 96
 
 
-def _kernel(dtau_ref, w_ref, pack_ref, eta_out, U_out, V_out, buf, acc, sem,
+def _geometry(Ye, n_sub, block_rows):
+    """(B, W, n_prog, Ye_pad): window geometry shared by pad_pack and the kernel."""
+    OV = -8 * (-(n_sub + 1) // 8)  # overlap rounded up to the sublane multiple
+    B = block_rows
+    W = B + 2 * OV
+    if Ye < W:
+        B = -8 * (-Ye // 8)
+        W = B
+    n_prog = -(-Ye // B)
+    return B, W, n_prog, n_prog * B
+
+
+def pad_pack(pack, block_rows: int = DEFAULT_BLOCK_ROWS):
+    """Pad a (K, Ye, Xe) operand stack to the kernel's row/lane alignment.
+
+    Row padding covers Ye_pad = ceil(Ye / B) * B (independent of the substep count,
+    which only affects the window overlap); lane padding is to a multiple of 128."""
+    K, Ye, Xe = pack.shape
+    if Ye >= block_rows:
+        Ye_pad = -(-Ye // block_rows) * block_rows
+    else:
+        Ye_pad = -8 * (-Ye // 8)
+    Xe_pad = -128 * (-Xe // 128)
+    if (Ye_pad, Xe_pad) != (Ye, Xe):
+        pack = jnp.pad(pack, ((0, 0), (0, max(0, Ye_pad - Ye)), (0, Xe_pad - Xe)))
+    return pack
+
+
+def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
+            sbuf, dbuf, acc, sem_s, sem_d,
             *, n_sub, W, B, Ye, Xe, Nx, Hx):
     p = pl.program_id(0)
-    start = jnp.clip(p * B - (W - B) // 2, 0, Ye - W)  # Ye here is the padded row count
-    # B, W and Ye are all multiples of 8, so start/off are too — hint Mosaic so the
-    # dynamic sublane slices below are provably aligned.
+    start = jnp.clip(p * B - (W - B) // 2, 0, Ye - W)  # Ye = padded row count
+    # B, W, Ye are multiples of 8, so start/off are too — hint Mosaic so the dynamic
+    # sublane slices below are provably aligned.
     start = pl.multiple_of(start, 8)
     off = pl.multiple_of(p * B - start, 8)
 
-    # One DMA: the (14, W, Xe) window of the packed operand stack.
-    dma = pltpu.make_async_copy(pack_ref.at[:, pl.ds(start, W), :], buf, sem)
-    dma.start()
-    dma.wait()
+    # Two DMAs: the static metric window and the dynamic state window.
+    dma_s = pltpu.make_async_copy(spack_ref.at[:, pl.ds(start, W), :], sbuf, sem_s)
+    dma_d = pltpu.make_async_copy(dpack_ref.at[:, pl.ds(start, W), :], dbuf, sem_d)
+    dma_s.start()
+    dma_d.start()
+    dma_s.wait()
+    dma_d.wait()
 
-    DY_FC, DX_CF, INV_AZ, INV_DX, INV_DY, GHU, GHV, MASK_U, MASK_V = range(9)
-    ETA, U, V, GU, GV = 9, 10, 11, 12, 13
+    DY_FC, DX_CF, C_AZ, C_U, C_V, MASK_U, MASK_V = range(7)
+    ETA, U, V, GU, GV = range(5)
 
     dtau = dtau_ref[0]
 
-    def rollm(a):  # out[j] = a[j-1]
+    # Hoist loop constants IN PLACE (extra temporaries would blow the VMEM budget):
+    # the eta/pressure factors and forcing increments absorb dtau once.
+    sbuf[C_AZ] = dtau * sbuf[C_AZ]
+    sbuf[C_U] = dtau * sbuf[C_U]
+    sbuf[C_V] = dtau * sbuf[C_V]
+    dbuf[GU] = dtau * dbuf[GU]
+    dbuf[GV] = dtau * dbuf[GV]
+
+    def rollm_y(a):  # out[j] = a[j-1]
         return pltpu.roll(a, 1, 0)
+
+    def rollm_x(a):  # out[i] = a[i-1]
+        return pltpu.roll(a, 1, 1)
 
     def rollp_y(a):  # out[j] = a[j+1]  (pltpu.roll requires non-negative shifts)
         return pltpu.roll(a, W - 1, 0)
@@ -59,33 +106,28 @@ def _kernel(dtau_ref, w_ref, pack_ref, eta_out, U_out, V_out, buf, acc, sem,
         return pltpu.roll(a, Xe - 1, 1)
 
     def wrap_cols(idx):
-        # periodic x-wrap of buffer plane idx (static column slices)
-        buf[idx, :, 0:Hx] = buf[idx, :, Nx : Nx + Hx]
-        buf[idx, :, Hx + Nx : Hx + Nx + Hx] = buf[idx, :, Hx : 2 * Hx]
+        # periodic x-wrap of dynamic plane idx (static column slices)
+        dbuf[idx, :, 0:Hx] = dbuf[idx, :, Nx : Nx + Hx]
+        dbuf[idx, :, Hx + Nx : Hx + Nx + Hx] = dbuf[idx, :, Hx : 2 * Hx]
 
     def substep(m, _):
-        eta = buf[ETA]
-        Uv = buf[U]
-        Vv = buf[V]
-        # div = dxc(dy_fc*U) + dyc(dx_cf*V), then eta forward step
-        fx = buf[DY_FC] * Uv
-        fy = buf[DX_CF] * Vv
-        div = (rollp_x(fx) - fx + rollp_y(fy) - fy) * buf[INV_AZ]
-        buf[ETA] = eta - dtau * div
+        eta = dbuf[ETA]
+        Uv = dbuf[U]
+        Vv = dbuf[V]
+        fx = sbuf[DY_FC] * Uv
+        fy = sbuf[DX_CF] * Vv
+        div = (rollp_x(fx) - fx + rollp_y(fy) - fy) * sbuf[C_AZ]
+        dbuf[ETA] = eta - div
         wrap_cols(ETA)
-        eta = buf[ETA]
-        # backward velocity step with the fresh eta
-        detadx = eta - pltpu.roll(eta, 1, 1)
-        buf[U] = (Uv - dtau * (buf[GHU] * detadx * buf[INV_DX] - buf[GU])) * buf[MASK_U]
+        eta = dbuf[ETA]
+        dbuf[U] = (Uv - sbuf[C_U] * (eta - rollm_x(eta)) + dbuf[GU]) * sbuf[MASK_U]
         wrap_cols(U)
-        detady = eta - rollm(eta)
-        buf[V] = (Vv - dtau * (buf[GHV] * detady * buf[INV_DY] - buf[GV])) * buf[MASK_V]
+        dbuf[V] = (Vv - sbuf[C_V] * (eta - rollm_y(eta)) + dbuf[GV]) * sbuf[MASK_V]
         wrap_cols(V)
-        # weighted accumulation over this program's output rows
         w = w_ref[m]
-        acc[0] += w * buf[ETA, pl.ds(off, B), :]
-        acc[1] += w * buf[U, pl.ds(off, B), :]
-        acc[2] += w * buf[V, pl.ds(off, B), :]
+        acc[0] += w * dbuf[ETA, pl.ds(off, B), :]
+        acc[1] += w * dbuf[U, pl.ds(off, B), :]
+        acc[2] += w * dbuf[V, pl.ds(off, B), :]
         return 0
 
     acc[...] = jnp.zeros(acc.shape, acc.dtype)
@@ -97,38 +139,31 @@ def _kernel(dtau_ref, w_ref, pack_ref, eta_out, U_out, V_out, buf, acc, sem,
 
 
 def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
-                               Nx, Hx, block_rows=96, interpret=False):
+                               Nx, Hx, block_rows=DEFAULT_BLOCK_ROWS, interpret=False):
     """Run the full barotropic loop in one Pallas kernel.
 
-    ``pack_static``: (9, Ye, Xe) stacked metric operands
-    [dy_fc, dx_cf, inv_az_cc, inv_dx_fc, inv_dy_cf, g*h_u, g*h_v, mask_u, mask_v]
-    (precomputed once at model build). ``eta/U/V/GU/GV``: (Ye, Xe), halos pre-filled.
-    Returns the SM05-weighted averages (eta_a, U_a, V_a).
+    ``pack_static``: (7, *, *) stacked metric operands
+    [dy_fc, dx_cf, inv_az_cc, g*h_u*inv_dx, g*h_v*inv_dy, mask_u, mask_v] —
+    may be pre-padded with ``pad_pack`` (models/hydrostatic.make_model does this).
+    ``eta/U/V/GU/GV``: (Ye, Xe), halos pre-filled. Returns the SM05-weighted averages.
+
+    Numerical note: the forward-backward update here algebraically matches the XLA
+    reference path but folds dtau into precomputed per-plane factors (c_u = dtau*gH/dx
+    etc.), so results can differ from it by one rounding at f32.
     """
     Ye, Xe = eta.shape
     n_sub = int(weights.shape[0])
-    OV = -8 * (-(n_sub + 1) // 8)  # overlap rounded up to a sublane multiple (8)
-    B = block_rows
-    assert B % 8 == 0
-    W = B + 2 * OV
-    if Ye < W:
-        # tiny grids: single window covering everything
-        B = -8 * (-Ye // 8)
-        W = B
-    n_prog = pl.cdiv(Ye, B)
-    # Pad rows to a multiple of B: with partial last blocks, the dynamic accumulator
-    # slice (off, B) could run past the window and silently clamp, shifting rows.
-    # Pad lanes to a multiple of 128: the HBM window DMA must slice whole lane tiles.
-    # Padded columns only ever hold transient garbage in the x-halo, which the
-    # per-substep wrap refreshes before any accumulation.
-    Ye_pad = n_prog * B
+    B, W, n_prog, Ye_pad = _geometry(Ye, n_sub, block_rows)
     Xe_pad = -128 * (-Xe // 128)
 
-    pack = jnp.concatenate(
-        [pack_static, jnp.stack([eta, U, V, GU, GV])], axis=0
-    )
-    if Ye_pad != Ye or Xe_pad != Xe:
-        pack = jnp.pad(pack, ((0, 0), (0, Ye_pad - Ye), (0, Xe_pad - Xe)))
+    spack = pad_pack(pack_static, block_rows)
+    assert spack.shape[1] >= Ye_pad and spack.shape[2] == Xe_pad, (
+        spack.shape, Ye_pad, Xe_pad)
+    spack = spack[:, :Ye_pad, :]
+
+    dpack = jnp.stack([eta, U, V, GU, GV])
+    if (Ye_pad, Xe_pad) != (Ye, Xe):
+        dpack = jnp.pad(dpack, ((0, 0), (0, Ye_pad - Ye), (0, Xe_pad - Xe)))
 
     kern = functools.partial(
         _kernel, n_sub=n_sub, W=W, B=B, Ye=Ye_pad, Xe=Xe_pad, Nx=Nx, Hx=Hx
@@ -137,14 +172,16 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # dtau (1,), weights (M,)
         grid=(n_prog,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[
             pl.BlockSpec((B, Xe_pad), lambda p, *_: (p, 0), memory_space=pltpu.VMEM)
             for _ in range(3)
         ],
         scratch_shapes=[
-            pltpu.VMEM((14, W, Xe_pad), eta.dtype),
+            pltpu.VMEM((7, W, Xe_pad), eta.dtype),
+            pltpu.VMEM((5, W, Xe_pad), eta.dtype),
             pltpu.VMEM((3, B, Xe_pad), eta.dtype),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -155,7 +192,7 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray([dtau], eta.dtype), weights, pack)
-    if Ye_pad != Ye or Xe_pad != Xe:
+    )(jnp.asarray([dtau], eta.dtype), weights, spack, dpack)
+    if (Ye_pad, Xe_pad) != (Ye, Xe):
         eta_a, U_a, V_a = (a[:Ye, :Xe] for a in (eta_a, U_a, V_a))
     return eta_a, U_a, V_a

@@ -21,7 +21,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from ..models.hydrostatic import HydrostaticModel, State, compute_cfl_dt, step
+from ..models.hydrostatic import HydrostaticModel, State, compute_cfl_dt, multi_step, step
 
 __all__ = [
     "IterationInterval",
@@ -100,7 +100,8 @@ class Simulation:
     """
 
     def __init__(self, model: HydrostaticModel, state: State, dt: float,
-                 stop_time: float = float("inf"), stop_iteration: int = 2**62):
+                 stop_time: float = float("inf"), stop_iteration: int = 2**62,
+                 steps_per_block: int = 1):
         self.model = model
         self.state = state
         self.dt = float(dt)
@@ -108,6 +109,13 @@ class Simulation:
         self.stop_iteration = int(stop_iteration)
         self.callbacks: list[tuple[Any, Callable]] = []
         self._step = jax.jit(step)
+        # multi-step blocks amortize per-dispatch overhead; schedules still fire at
+        # block boundaries, so pick steps_per_block <= the smallest callback interval
+        self.steps_per_block = int(steps_per_block)
+        if self.steps_per_block > 1:
+            import functools
+
+            self._multi = jax.jit(functools.partial(multi_step, n_steps=self.steps_per_block))
         self.wall_start = None
 
     @property
@@ -127,11 +135,18 @@ class Simulation:
         it = self.iteration
         t = self.time
         while t < self.stop_time and it < self.stop_iteration:
-            # don't overshoot stop_time
-            dt = min(self.dt, max(self.stop_time - t, 1e-12)) if self.stop_time < float("inf") else self.dt
-            self.state = self._step(self.model, self.state, dt)
-            it += 1
-            t += dt
+            nb = self.steps_per_block
+            remaining = self.stop_time - t
+            if nb > 1 and remaining >= nb * self.dt and it + nb <= self.stop_iteration:
+                self.state = self._multi(self.model, self.state, self.dt)
+                it += nb
+                t += nb * self.dt
+            else:
+                # don't overshoot stop_time
+                dt = min(self.dt, max(remaining, 1e-12)) if self.stop_time < float("inf") else self.dt
+                self.state = self._step(self.model, self.state, dt)
+                it += 1
+                t += dt
             for schedule, fn in self.callbacks:
                 if schedule(it, t):
                     fn(self)
