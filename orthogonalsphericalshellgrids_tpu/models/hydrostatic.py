@@ -39,7 +39,7 @@ import numpy as np
 from ..grids.immersed import ImmersedBoundary, make_immersed_boundary
 from ..grids.tripolar import TripolarGrid, with_halo
 from ..ops import zipper
-from ..ops.spmd import fill_halos_spmd
+from ..ops.spmd import fill_halos_spmd, fill_halos_spmd_batch
 from ..ops.advection import (centered_faces_from_centers, upwind_select,
                              weno5_centers_from_faces, weno5_faces_from_centers)
 from ..ops.location import CC, CF, FC
@@ -99,6 +99,8 @@ class HydrostaticModel:
     weights: Any
     # stacked barotropic operands for the Pallas time-tiled kernel (9, Ye, Xe)
     baro_pack: Any
+    # stacked static operands for the fused Pallas tendency kernel (15, Yb, Xb)
+    tend_pack: Any
     # coriolis frequency at FF points (0 array when disabled)
     f_ff: Any
     # static metadata
@@ -120,7 +122,7 @@ _MODEL_ARRAYS = [
     "grid", "grid_ext", "ib",
     "inv_dx_fc", "inv_dy_cf", "inv_az_ff", "inv_vol_c",
     "inv_dx_fc_e", "inv_dy_cf_e", "inv_az_cc_e", "dy_fc_e", "dx_cf_e",
-    "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "f_ff",
+    "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "tend_pack", "f_ff",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
                "tracer_advection", "momentum_advection"]
@@ -143,6 +145,15 @@ def _fill(grid: TripolarGrid, A, loc, sign, spmd=None):
         return zipper.fill_halos(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
                                  south="zero_gradient", xp=jnp)
     return fill_halos_spmd(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy, spmd)
+
+
+def _fill_batch(grid: TripolarGrid, S, locs, signs, spmd=None):
+    """Batched halo fill of a (K, y, x) stack — one shared op set / one collective
+    pair for all planes (the step's hot communication path)."""
+    if spmd is None or spmd.n_shards == 1:
+        return zipper.fill_halos_batch(S, locs, signs, grid.Nx, grid.Ny, grid.Hx,
+                                       grid.Hy, south="zero_gradient", xp=jnp)
+    return fill_halos_spmd_batch(S, locs, signs, grid.Nx, grid.Ny, grid.Hx, grid.Hy, spmd)
 
 
 def embed_ext(grid: TripolarGrid, grid_ext: TripolarGrid, A):
@@ -203,7 +214,8 @@ def make_model(
     @jax.jit
     def _derived(g_dx_fc, g_dy_cf, g_az_ff, g_az_cc, h_c, mask_c,
                  ge_dx_fc, ge_dy_cf, ge_az_cc, phi_ff,
-                 ge_dy_fc, ge_dx_cf, h_u_e, h_v_e, mask_u_e, mask_v_e):
+                 ge_dy_fc, ge_dx_cf, h_u_e, h_v_e, mask_u_e, mask_v_e,
+                 g_dy_cf2, g_dx_cf, g_dy_fc, h_u, h_v, mask_u, mask_v):
         f_ff = (
             2.0 * rotation_rate * jnp.sin(jnp.deg2rad(phi_ff))
             if coriolis else jnp.zeros_like(phi_ff)
@@ -222,17 +234,28 @@ def make_model(
             g_accel * h_v_e * inv_dy_cf_e,
             mask_u_e, mask_v_e,
         ]))
+        inv_dx_fc = _inv(g_dx_fc)
+        inv_dy_cf = _inv(g_dy_cf)
+        inv_az_ff = _inv(g_az_ff)
+        inv_vol_c = mask_c * _inv(g_az_cc * h_c)
+        # static operands for the fused tendency kernel (ops/pallas_tend.py;
+        # TEND_STATIC_PLANES order)
+        tend_pack = jnp.stack([
+            g_dy_cf2, g_dx_fc, inv_az_ff, g_dx_cf, inv_dx_fc, g_dy_fc, inv_dy_cf,
+            h_u * g_dy_fc, h_v * g_dx_cf, inv_vol_c, mask_u, mask_v, h_u, h_v, f_ff,
+        ])
         return (
-            _inv(g_dx_fc), _inv(g_dy_cf), _inv(g_az_ff),
-            mask_c * _inv(g_az_cc * h_c),
-            inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack,
+            inv_dx_fc, inv_dy_cf, inv_az_ff,
+            inv_vol_c,
+            inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack, tend_pack,
         )
 
     (inv_dx_fc, inv_dy_cf, inv_az_ff, inv_vol_c,
-     inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack) = _derived(
+     inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack, tend_pack) = _derived(
         grid.dx_fc, grid.dy_cf, grid.az_ff, grid.az_cc, ib.h_c, ib.mask_c,
         grid_ext.dx_fc, grid_ext.dy_cf, grid_ext.az_cc, grid.phi_ff,
-        grid_ext.dy_fc, grid_ext.dx_cf, ib_e.h_u, ib_e.h_v, ib_e.mask_u, ib_e.mask_v)
+        grid_ext.dy_fc, grid_ext.dx_cf, ib_e.h_u, ib_e.h_v, ib_e.mask_u, ib_e.mask_v,
+        grid.dy_cf, grid.dx_cf, grid.dy_fc, ib.h_u, ib.h_v, ib.mask_u, ib.mask_v)
 
     if use_pallas is None:
         backend = jax.default_backend()
@@ -257,6 +280,7 @@ def make_model(
         mask_v_e=ib_e.mask_v,
         weights=jnp.asarray(free_surface.weights, dtype=dt),
         baro_pack=baro_pack,
+        tend_pack=tend_pack,
         f_ff=f_ff,
         substeps=free_surface.substeps,
         fractional_dt=float(free_surface.fractional_dt),
@@ -374,7 +398,7 @@ def tendencies(model: HydrostaticModel, u, v, c):
     return Gu, Gv, Gc
 
 
-def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt):
+def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=None):
     """SM05-averaged forward-backward substepping of (η, U, V) on the extended-halo
     grid. No y-halo communication inside the loop — validity shrinks one row per
     substep into the widened halo (the reference's 1:Ny+Hy−1 kernel-range trick,
@@ -390,7 +414,7 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt):
         dtau = model.fractional_dt * dt
         return barotropic_substeps_pallas(
             model.baro_pack, eta, U, V, GU, GV, dtau, model.weights,
-            ge.Nx, ge.Hx,
+            ge.Nx, ge.Hx, dpack=dpack,
         )
     dtau = model.fractional_dt * dt
     gH_u = model.g * model.h_u_e
@@ -429,36 +453,51 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None) -> State:
     ge = model.grid_ext
     dt = jnp.asarray(dt, model.dtype)
 
-    u = _fill(g, state.u, FC, -1, spmd)
-    v = _fill(g, state.v, CF, -1, spmd)
-    c = _fill(g, state.c, CC, 1, spmd)
-
-    Gu, Gv, Gc = tendencies(model, u, v, c)
+    # one batched fill for the three baroclinic prognostics
+    SB = _fill_batch(g, jnp.stack([state.u, state.v, state.c]),
+                     [FC, CF, CC], [-1, -1, 1], spmd)
 
     first = state.iteration == 0
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
     w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
-    Gu_s = w1 * Gu - w2 * state.Gu
-    Gv_s = w1 * Gv - w2 * state.Gv
-    Gc_s = w1 * Gc - w2 * state.Gc
 
-    # Depth-integrated barotropic forcing, folded/wrapped valid through the extended rows
-    GU = _fill(ge, embed_ext(g, ge, model.ib.h_u * Gu_s), FC, -1, spmd)
-    GV = _fill(ge, embed_ext(g, ge, model.ib.h_v * Gv_s), CF, -1, spmd)
+    if model.use_pallas:
+        from ..ops.pallas_tend import tendencies_pallas
 
-    eta = _fill(ge, state.eta, CC, 1, spmd)
-    U = _fill(ge, state.U, FC, -1, spmd)
-    V = _fill(ge, state.V, CF, -1, spmd)
+        dpack_t = jnp.concatenate(
+            [SB, jnp.stack([state.Gu, state.Gv, state.Gc])], axis=0)
+        Gu, Gv, Gc, GUb, GVb, c_new = tendencies_pallas(
+            model.tend_pack, dpack_t, w1, w2, dt,
+            coriolis=model.coriolis,
+            upwind_q=model.momentum_advection == "weno_vector_invariant",
+            tracer_weno=model.tracer_advection == "weno5",
+        )
+    else:
+        u, v, c = SB[0], SB[1], SB[2]
+        Gu, Gv, Gc = tendencies(model, u, v, c)
+        Gu_s = w1 * Gu - w2 * state.Gu
+        Gv_s = w1 * Gv - w2 * state.Gv
+        Gc_s = w1 * Gc - w2 * state.Gc
+        GUb = model.ib.h_u * Gu_s
+        GVb = model.ib.h_v * Gv_s
+        c_new = (state.c + dt * Gc_s) * model.ib.mask_c
 
-    eta_a, U_a, V_a = barotropic_substeps(model, eta, U, V, GU, GV, dt)
+    # one batched fill for the free-surface stack [eta, U, V, GU, GV] on the extended
+    # grid (GU/GV = depth-integrated forcing, valid through the widened halo rows);
+    # the filled stack IS the Pallas kernel's dynamic operand pack
+    GU0 = embed_ext(g, ge, GUb)
+    GV0 = embed_ext(g, ge, GVb)
+    SE = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V, GU0, GV0]),
+                     [CC, FC, CF, FC, CF], [1, -1, -1, -1, -1], spmd)
+
+    eta_a, U_a, V_a = barotropic_substeps(model, SE[0], SE[1], SE[2], SE[3], SE[4], dt,
+                                          dpack=SE)
 
     # Single-layer corrector: the velocity IS the barotropic velocity
     inv_h_u = _inv(model.ib.h_u)
     inv_h_v = _inv(model.ib.h_v)
     u_new = crop_ext(g, ge, U_a) * inv_h_u * model.ib.mask_u
     v_new = crop_ext(g, ge, V_a) * inv_h_v * model.ib.mask_v
-
-    c_new = (state.c + dt * Gc_s) * model.ib.mask_c
 
     return State(
         u=u_new, v=v_new, eta=eta_a, U=U_a, V=V_a, c=c_new,

@@ -139,7 +139,8 @@ def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
 
 
 def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
-                               Nx, Hx, block_rows=DEFAULT_BLOCK_ROWS, interpret=False):
+                               Nx, Hx, block_rows=DEFAULT_BLOCK_ROWS, interpret=False,
+                               dpack=None):
     """Run the full barotropic loop in one Pallas kernel.
 
     ``pack_static``: (7, *, *) stacked metric operands
@@ -161,7 +162,8 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
         spack.shape, Ye_pad, Xe_pad)
     spack = spack[:, :Ye_pad, :]
 
-    dpack = jnp.stack([eta, U, V, GU, GV])
+    if dpack is None:  # caller may supply the already-stacked [eta,U,V,GU,GV]
+        dpack = jnp.stack([eta, U, V, GU, GV])
     if (Ye_pad, Xe_pad) != (Ye, Xe):
         dpack = jnp.pad(dpack, ((0, 0), (0, Ye_pad - Ye), (0, Xe_pad - Xe)))
 

@@ -36,7 +36,7 @@ import numpy as np
 
 from .location import CENTER, FACE, validate_location
 
-__all__ = ["fold_north", "wrap_x", "fill_south", "fill_halos"]
+__all__ = ["fold_north", "wrap_x", "fill_south", "fill_halos", "fill_halos_batch"]
 
 
 def _set(A, yslc, xslc, value, xp):
@@ -139,3 +139,57 @@ def fill_halos(A, loc, sign, Nx, Ny, Hx, Hy, south="zero_gradient", fold=True, x
     if fold and Hy > 0:
         A = fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=xp)
     return wrap_x(A, Nx, Hx, xp=xp)
+
+
+def fill_halos_batch(S, locs, signs, Nx, Ny, Hx, Hy, south="zero_gradient", xp=np):
+    """Fused halo fill for a STACK of fields (K, Ny+2Hy, Nx+2Hx) with per-plane
+    staggered locations and signs.
+
+    Identical semantics to mapping fill_halos over the planes, but the whole stack is
+    filled with one shared set of array ops (plane differences expressed as selects on
+    tiny strips) — an order of magnitude fewer kernel launches per step on dispatch-
+    bound backends. Pinned against the per-plane path in tests/test_zipper.py.
+    """
+    K = S.shape[0]
+    locs = [validate_location(l) for l in locs]
+    assert len(locs) == K and len(signs) == K
+
+    S = fill_south(S, Ny, Hy, south, xp=xp)
+    S = fold_north_batch(S, locs, signs, Nx, Ny, Hx, Hy, xp=xp)
+    return wrap_x(S, Nx, Hx, xp=xp)
+
+
+def fold_north_batch(S, locs, signs, Nx, Ny, Hx, Hy, xp=np):
+    """Batched zipper fold: rewrite the fold strip (row Ny + north halo rows) of a
+    (K, ...) field stack with per-plane location maps/signs in one shared set of ops."""
+    K = S.shape[0]
+    locs = [validate_location(l) for l in locs]
+
+    top = S[:, Hy + Ny - 1 - Hy : Hy + Ny, Hx : Hx + Nx]   # (K, Hy+1, Nx)
+    flipped = xp.flip(top, axis=-1)
+    rolled = xp.roll(flipped, 1, axis=-1)
+    is_face_x = xp.asarray([lx == FACE for lx, _ in locs]).reshape(K, 1, 1)
+    M = xp.where(is_face_x, rolled, flipped)
+
+    i0 = xp.arange(Nx)
+    sign_col = xp.asarray(signs, dtype=S.dtype).reshape(K, 1, 1)
+    # face-x planes take |sign| at the periodic wrap point i0 == 0
+    sign_row = xp.where(
+        is_face_x & (i0.reshape(1, 1, Nx) == 0), xp.abs(sign_col), sign_col
+    )
+
+    # halo rows: center-y reads mirrored rows [0:Hy] (duplicated row), face-y [1:Hy+1]
+    is_face_y = xp.asarray([ly == FACE for _, ly in locs]).reshape(K, 1, 1)
+    halo_c = xp.flip(M[:, :Hy, :], axis=-2)
+    halo_f = xp.flip(M[:, 1 : Hy + 1, :], axis=-2)
+    halo = xp.where(is_face_y, halo_f, halo_c) * sign_row
+
+    # redundant-half overwrite of row Ny for center-y planes
+    old_row = top[:, Hy, :]
+    mir_row = M[:, Hy, :]
+    cond = (~is_face_y[:, 0, :]) & (i0.reshape(1, Nx) >= Nx // 2)
+    new_row = xp.where(cond, sign_row[:, 0, :] * mir_row, old_row)
+
+    strip = xp.concatenate([new_row[:, None, :], halo], axis=-2)  # (K, Hy+1, Nx)
+    full = xp.concatenate([strip[..., Nx - Hx :], strip, strip[..., :Hx]], axis=-1)
+    return _set(S, slice(Hy + Ny - 1, Hy + Ny + Hy), slice(None), full, xp)

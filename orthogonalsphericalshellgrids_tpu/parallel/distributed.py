@@ -65,14 +65,14 @@ def _partition_rows(A: np.ndarray, n: int, ny: int, Hy: int) -> np.ndarray:
 
 
 def _spec_for(leaf, mesh):
-    if hasattr(leaf, "ndim") and leaf.ndim == 2:
-        return NamedSharding(mesh, P("y", None))
-    return NamedSharding(mesh, P())
+    return NamedSharding(mesh, _pspec_for(leaf))
 
 
 def _pspec_for(leaf):
     if hasattr(leaf, "ndim") and leaf.ndim == 2:
         return P("y", None)
+    if hasattr(leaf, "ndim") and leaf.ndim == 3:
+        return P(None, "y", None)
     return P()
 
 
@@ -96,6 +96,17 @@ def distribute(model: HydrostaticModel, state: State, mesh: Mesh):
 
     def repartition(leaf, Hy_base, Hy_ext, Ny_glob):
         a = np.asarray(leaf)
+        if a.ndim == 3:
+            # stacked operand packs (K, Ye, Xe) for the Pallas kernels: partition the
+            # row axis per plane; the (possibly) padded rows beyond the halo layout
+            # are rebuilt per shard by the kernels' own pad logic, so slice them off
+            # check the larger (extended-halo) layout first: a padded ext pack also
+            # clears the base-rows threshold
+            for rows, Hy_k in ((Ny_glob + 2 * Hy_ext, Hy_ext), (Ny_glob + 2 * Hy_base, Hy_base)):
+                if a.shape[1] >= rows:
+                    blocks = [_partition_rows(a[k][:rows], n, ny, Hy_k) for k in range(a.shape[0])]
+                    return np.stack(blocks)
+            raise ValueError(f"unexpected 3-D leaf shape {a.shape}")
         if a.ndim != 2:
             return a
         if a.shape[0] == Ny_glob + 2 * Hy_base:
