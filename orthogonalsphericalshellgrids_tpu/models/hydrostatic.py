@@ -40,6 +40,7 @@ from ..grids.immersed import ImmersedBoundary, make_immersed_boundary
 from ..grids.tripolar import TripolarGrid, with_halo
 from ..ops import zipper
 from ..ops.spmd import fill_halos_spmd, fill_halos_spmd_batch
+from ..ops.spmd2d import Spmd2D, fill_halos_spmd2d_batch
 from ..ops.advection import (centered_faces_from_centers, upwind_select,
                              weno5_centers_from_faces, weno5_faces_from_centers)
 from ..ops.location import CC, CF, FC
@@ -149,7 +150,10 @@ def _fill(grid: TripolarGrid, A, loc, sign, spmd=None):
 
 def _fill_batch(grid: TripolarGrid, S, locs, signs, spmd=None):
     """Batched halo fill of a (K, y, x) stack — one shared op set / one collective
-    pair for all planes (the step's hot communication path)."""
+    pair (1-D) or a 2-phase exchange + fold gather (2-D) for all planes."""
+    if isinstance(spmd, Spmd2D):
+        return fill_halos_spmd2d_batch(S, locs, signs, grid.Nx, grid.Ny, grid.Hx,
+                                       grid.Hy, spmd)
     if spmd is None or spmd.n_shards == 1:
         return zipper.fill_halos_batch(S, locs, signs, grid.Nx, grid.Ny, grid.Hx,
                                        grid.Hy, south="zero_gradient", xp=jnp)
@@ -157,14 +161,17 @@ def _fill_batch(grid: TripolarGrid, S, locs, signs, spmd=None):
 
 
 def embed_ext(grid: TripolarGrid, grid_ext: TripolarGrid, A):
-    """Pad a base-halo array into the extended-halo row layout (x layout unchanged)."""
-    d = grid_ext.Hy - grid.Hy
-    return jnp.pad(A, ((d, d), (0, 0)))
+    """Pad a base-halo array into the extended-halo layout (y always; x too when the
+    free-surface grid carries widened x-halos — the 2-D decomposition path)."""
+    dy = grid_ext.Hy - grid.Hy
+    dx = grid_ext.Hx - grid.Hx
+    return jnp.pad(A, ((dy, dy), (dx, dx)))
 
 
 def crop_ext(grid: TripolarGrid, grid_ext: TripolarGrid, A):
-    d = grid_ext.Hy - grid.Hy
-    return A[d : d + grid.Ny + 2 * grid.Hy, :]
+    dy = grid_ext.Hy - grid.Hy
+    dx = grid_ext.Hx - grid.Hx
+    return A[dy : dy + grid.Ny + 2 * grid.Hy, dx : dx + grid.Nx + 2 * grid.Hx]
 
 
 # --------------------------------------------------------------------------------------
@@ -184,6 +191,7 @@ def make_model(
     use_pallas: bool | None = None,
     tracer_advection: str = "weno5",
     momentum_advection: str = "weno_vector_invariant",
+    decomposition: str = "1d",
 ) -> HydrostaticModel:
     """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
     rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
@@ -198,7 +206,10 @@ def make_model(
             "configuration (the reference rejects the default free surface too)."
         )
     hy_ext = max(free_surface.required_y_halo, grid.Hy)
-    grid_ext = with_halo(grid, (grid.Hx, hy_ext, grid.Hz))
+    # 2-D decomposition: the barotropic loop cannot x-wrap locally (x is sharded), so
+    # the x-halo is widened like y and validity shrinks in both directions
+    hx_ext = max(free_surface.required_y_halo, grid.Hx) if decomposition == "2d" else grid.Hx
+    grid_ext = with_halo(grid, (hx_ext, hy_ext, grid.Hz))
 
     if bottom_height is None:
         bottom_height = lambda lam, phi: np.full_like(lam, grid.z_bounds[0] - 1.0)  # all ocean
@@ -398,7 +409,8 @@ def tendencies(model: HydrostaticModel, u, v, c):
     return Gu, Gv, Gc
 
 
-def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=None):
+def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=None,
+                        wrap_x_each_substep=True):
     """SM05-averaged forward-backward substepping of (η, U, V) on the extended-halo
     grid. No y-halo communication inside the loop — validity shrinks one row per
     substep into the widened halo (the reference's 1:Ny+Hy−1 kernel-range trick,
@@ -414,13 +426,15 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=No
         dtau = model.fractional_dt * dt
         return barotropic_substeps_pallas(
             model.baro_pack, eta, U, V, GU, GV, dtau, model.weights,
-            ge.Nx, ge.Hx, dpack=dpack,
+            ge.Nx, ge.Hx, dpack=dpack, wrap_x_each_substep=wrap_x_each_substep,
         )
     dtau = model.fractional_dt * dt
     gH_u = model.g * model.h_u_e
     gH_v = model.g * model.h_v_e
 
     def wrapx(A):
+        if not wrap_x_each_substep:
+            return A  # 2-D decomposition: x-validity shrinks into the widened halo
         return zipper.wrap_x(A, ge.Nx, ge.Hx, xp=jnp)
 
     def substep(carry, w):
@@ -441,7 +455,8 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=No
     return eta_a, U_a, V_a
 
 
-def step(model: HydrostaticModel, state: State, dt, spmd=None) -> State:
+def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
+         fill_mode="batch") -> State:
     """One full time step (reference call stack SURVEY.md §3.4): halo fills, WENO
     tendencies, quasi-AB2 extrapolation, communication-free barotropic subcycling,
     barotropic-velocity corrector (single-layer: u = U/H), tracer update.
@@ -453,15 +468,25 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None) -> State:
     ge = model.grid_ext
     dt = jnp.asarray(dt, model.dtype)
 
-    # one batched fill for the three baroclinic prognostics
-    SB = _fill_batch(g, jnp.stack([state.u, state.v, state.c]),
-                     [FC, CF, CC], [-1, -1, 1], spmd)
+    # halo fill of the three baroclinic prognostics (batched by default; per-field
+    # mode exists for backends where the stack copies cost more than the saved
+    # dispatches)
+    if fill_mode == "batch" or spmd is not None:
+        SB = _fill_batch(g, jnp.stack([state.u, state.v, state.c]),
+                         [FC, CF, CC], [-1, -1, 1], spmd)
+    else:
+        SB = (_fill(g, state.u, FC, -1), _fill(g, state.v, CF, -1),
+              _fill(g, state.c, CC, 1))
 
     first = state.iteration == 0
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
     w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
 
-    if model.use_pallas:
+    if tend_pallas is None:
+        # The fused tendency kernel currently loses to the XLA path on v5e (VMEM
+        # pressure at the required window size forces spills); keep it opt-in.
+        tend_pallas = False
+    if tend_pallas and model.use_pallas:
         from ..ops.pallas_tend import tendencies_pallas
 
         dpack_t = jnp.concatenate(
@@ -487,11 +512,22 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None) -> State:
     # the filled stack IS the Pallas kernel's dynamic operand pack
     GU0 = embed_ext(g, ge, GUb)
     GV0 = embed_ext(g, ge, GVb)
-    SE = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V, GU0, GV0]),
-                     [CC, FC, CF, FC, CF], [1, -1, -1, -1, -1], spmd)
+    if fill_mode == "batch" or spmd is not None:
+        SE = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V, GU0, GV0]),
+                         [CC, FC, CF, FC, CF], [1, -1, -1, -1, -1], spmd)
+        eta_f, U_f, V_f, GU_f, GV_f = SE[0], SE[1], SE[2], SE[3], SE[4]
+        dpack = SE
+    else:
+        eta_f = _fill(ge, state.eta, CC, 1)
+        U_f = _fill(ge, state.U, FC, -1)
+        V_f = _fill(ge, state.V, CF, -1)
+        GU_f = _fill(ge, GU0, FC, -1)
+        GV_f = _fill(ge, GV0, CF, -1)
+        dpack = None
 
-    eta_a, U_a, V_a = barotropic_substeps(model, SE[0], SE[1], SE[2], SE[3], SE[4], dt,
-                                          dpack=SE)
+    eta_a, U_a, V_a = barotropic_substeps(
+        model, eta_f, U_f, V_f, GU_f, GV_f, dt, dpack=dpack,
+        wrap_x_each_substep=not isinstance(spmd, Spmd2D))
 
     # Single-layer corrector: the velocity IS the barotropic velocity
     inv_h_u = _inv(model.ib.h_u)
@@ -515,7 +551,8 @@ def compute_cfl_dt(model: HydrostaticModel, state: State, cfl=0.3):
     return jnp.where(smax > 0, cfl / smax, jnp.inf)
 
 
-def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=None) -> State:
+def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=None,
+               tend_pallas=None, fill_mode="batch") -> State:
     """n_steps time steps in one traced computation (lax.scan).
 
     Amortizes the per-dispatch overhead of a single jitted call across many steps —
@@ -523,7 +560,8 @@ def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=Non
     (dt is constant within the scanned block, re-adapted between blocks)."""
 
     def body(s, _):
-        return step(model, s, dt, spmd=spmd), None
+        return step(model, s, dt, spmd=spmd, tend_pallas=tend_pallas,
+                    fill_mode=fill_mode), None
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out

@@ -64,7 +64,7 @@ def pad_pack(pack, block_rows: int = DEFAULT_BLOCK_ROWS):
 
 def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
             sbuf, dbuf, acc, sem_s, sem_d,
-            *, n_sub, W, B, Ye, Xe, Nx, Hx):
+            *, n_sub, W, B, Ye, Xe, Nx, Hx, wrap=True):
     p = pl.program_id(0)
     start = jnp.clip(p * B - (W - B) // 2, 0, Ye - W)  # Ye = padded row count
     # B, W, Ye are multiples of 8, so start/off are too — hint Mosaic so the dynamic
@@ -106,7 +106,10 @@ def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
         return pltpu.roll(a, Xe - 1, 1)
 
     def wrap_cols(idx):
-        # periodic x-wrap of dynamic plane idx (static column slices)
+        # periodic x-wrap of dynamic plane idx (static column slices); disabled for
+        # 2-D decompositions where x-validity shrinks into the widened halo instead
+        if not wrap:
+            return
         dbuf[idx, :, 0:Hx] = dbuf[idx, :, Nx : Nx + Hx]
         dbuf[idx, :, Hx + Nx : Hx + Nx + Hx] = dbuf[idx, :, Hx : 2 * Hx]
 
@@ -140,7 +143,7 @@ def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
 
 def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
                                Nx, Hx, block_rows=DEFAULT_BLOCK_ROWS, interpret=False,
-                               dpack=None):
+                               dpack=None, wrap_x_each_substep=True):
     """Run the full barotropic loop in one Pallas kernel.
 
     ``pack_static``: (7, *, *) stacked metric operands
@@ -168,7 +171,8 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
         dpack = jnp.pad(dpack, ((0, 0), (0, Ye_pad - Ye), (0, Xe_pad - Xe)))
 
     kern = functools.partial(
-        _kernel, n_sub=n_sub, W=W, B=B, Ye=Ye_pad, Xe=Xe_pad, Nx=Nx, Hx=Hx
+        _kernel, n_sub=n_sub, W=W, B=B, Ye=Ye_pad, Xe=Xe_pad, Nx=Nx, Hx=Hx,
+        wrap=wrap_x_each_substep,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

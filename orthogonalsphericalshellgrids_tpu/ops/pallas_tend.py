@@ -38,7 +38,7 @@ TEND_STATIC_PLANES = [
     "inv_vol_c", "mask_u", "mask_v", "h_u", "h_v", "f_ff",
 ]
 
-DEFAULT_BLOCK_ROWS = 64
+DEFAULT_BLOCK_ROWS = 32
 _OV = 8  # stencil reach 3+1, rounded to the sublane multiple
 
 
@@ -59,7 +59,7 @@ def _weno_z(m3, m2, m1, p0, p1):
 
 
 def _kernel(scal_ref, spack_ref, dpack_ref, gu_out, gv_out, gc_out, gub_out, gvb_out,
-            cnew_out, sbuf, dbuf, sem_s, sem_d,
+            cnew_out, sbuf, dbuf, tmp, sem_s, sem_d,
             *, W, B, Ye, Xe, coriolis, upwind_q, tracer_weno):
     p = pl.program_id(0)
     start = jnp.clip(p * B - (W - B) // 2, 0, Ye - W)
@@ -171,17 +171,19 @@ def _kernel(scal_ref, spack_ref, dpack_ref, gu_out, gv_out, gc_out, gub_out, gvb
     gv_s = w1 * gv - w2 * dbuf[GVP]
     gc_s = w1 * gc - w2 * dbuf[GCP]
 
-    def rows(a):  # this program's output rows of a full-window VMEM array
-        return jax.lax.dynamic_slice(a, (off, jnp.zeros_like(off)), (B, a.shape[1]))
+    def emit(val, out_ref):
+        # dynamic_slice on values is unsupported by this Mosaic version; bounce the
+        # window through a scratch ref and take the aligned dynamic row-slice there
+        tmp[...] = val
+        out_ref[...] = tmp[pl.ds(off, B), :]
 
-    gu_out[...] = rows(gu)
-    gv_out[...] = rows(gv)
-    gc_out[...] = rows(gc)
-    gub_out[...] = rows(sbuf[H_U] * gu_s)
-    gvb_out[...] = rows(sbuf[H_V] * gv_s)
+    emit(gu, gu_out)
+    emit(gv, gv_out)
+    emit(gc, gc_out)
+    emit(sbuf[H_U] * gu_s, gub_out)
+    emit(sbuf[H_V] * gv_s, gvb_out)
     # mask_c == (inv_vol_c > 0); matches the XLA path's (c + dt*Gc_s) * mask_c
-    cnew = jnp.where(sbuf[INV_VOL] > 0.0, c + dt * gc_s, 0.0)
-    cnew_out[...] = rows(cnew)
+    emit(jnp.where(sbuf[INV_VOL] > 0.0, c + dt * gc_s, 0.0), cnew_out)
 
 
 def tendencies_pallas(spack, dpack, w1, w2, dt, *,
@@ -225,6 +227,7 @@ def tendencies_pallas(spack, dpack, w1, w2, dt, *,
         scratch_shapes=[
             pltpu.VMEM((15, W, Xe_pad), dtype),
             pltpu.VMEM((6, W, Xe_pad), dtype),
+            pltpu.VMEM((W, Xe_pad), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

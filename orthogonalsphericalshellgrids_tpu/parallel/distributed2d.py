@@ -1,0 +1,159 @@
+"""2-D (x, y) domain decomposition driver: partitioning, sharded step, gather.
+
+The fold-aware 2-D halo machinery lives in ops/spmd2d.py; this module provides the
+layout conversion (the 2-D analog of the reference's halo-inclusive jrange slicing,
+now in both directions) and the shard_map wrapper. The reference never supported
+x-partitioning (src/distributed_tripolar_grid.jl:30-31) — this is the build's
+extension target (BASELINE config #4).
+
+Layout: every distributed 2-D array is stored globally as
+``(n_y*(ny+2Hy), n_x*(nx+2Hx))`` with ``P('y', 'x')`` sharding — each shard's block is
+its halo-inclusive local array. Models built for 2-D must use
+``make_model(..., decomposition="2d")`` so the free-surface grid carries widened
+x-halos (the barotropic loop shrinks validity in x instead of wrapping locally).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import hydrostatic as hydro
+from ..models.hydrostatic import HydrostaticModel, State
+from ..ops.spmd2d import Spmd2D
+
+__all__ = ["make_mesh2d", "distribute2d", "gather_state2d", "sharded_step_fn2d"]
+
+
+def make_mesh2d(n_x: int, n_y: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_x * n_y:
+        raise RuntimeError(f"need {n_x * n_y} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[: n_x * n_y]).reshape(n_y, n_x), axis_names=("y", "x"))
+
+
+def _partition_blocks(A: np.ndarray, n_y, n_x, ny, nx, Hy, Hx) -> np.ndarray:
+    """Global halo-inclusive array -> (n_y*(ny+2Hy), n_x*(nx+2Hx)) block layout."""
+    rows = [
+        np.concatenate(
+            [A[ky * ny : ky * ny + ny + 2 * Hy, kx * nx : kx * nx + nx + 2 * Hx]
+             for kx in range(n_x)], axis=1)
+        for ky in range(n_y)
+    ]
+    return np.concatenate(rows, axis=0)
+
+
+def _pspec_for(leaf):
+    if hasattr(leaf, "ndim") and leaf.ndim == 2:
+        return P("y", "x")
+    if hasattr(leaf, "ndim") and leaf.ndim == 3:
+        return P(None, "y", "x")
+    return P()
+
+
+def distribute2d(model: HydrostaticModel, state: State, mesh: Mesh):
+    """Partition a serial (decomposition='2d') model+state onto an (x, y) mesh."""
+    n_y, n_x = mesh.devices.shape
+    g, ge = model.grid, model.grid_ext
+    if g.Ny % n_y or g.Nx % n_x:
+        raise ValueError(f"grid {g.Nx}x{g.Ny} not divisible by mesh {n_x}x{n_y}")
+    ny, nx = g.Ny // n_y, g.Nx // n_x
+    if nx < ge.Hx or ny < ge.Hy:
+        raise ValueError(
+            f"local block {nx}x{ny} must cover the extended halos {ge.Hx}x{ge.Hy}")
+
+    def repart2(a, Hy_k, Hx_k):
+        return _partition_blocks(a, n_y, n_x, ny, nx, Hy_k, Hx_k)
+
+    def repartition(leaf):
+        a = np.asarray(leaf)
+        shapes = {
+            (g.Ny + 2 * g.Hy, g.Nx + 2 * g.Hx): (g.Hy, g.Hx),
+            (g.Ny + 2 * ge.Hy, g.Nx + 2 * ge.Hx): (ge.Hy, ge.Hx),
+        }
+        if a.ndim == 2:
+            if a.shape in shapes:
+                return repart2(a, *shapes[a.shape])
+            raise ValueError(f"unexpected 2-D leaf {a.shape}")
+        if a.ndim == 3:
+            for (rows, cols), (Hy_k, Hx_k) in shapes.items():
+                if a.shape[1] >= rows and a.shape[2] >= cols and (
+                    a.shape[1] - rows < 200 and a.shape[2] - cols < 200
+                ):
+                    trimmed = a[:, :rows, :cols]
+                    return np.stack([repart2(trimmed[k], Hy_k, Hx_k)
+                                     for k in range(a.shape[0])])
+            raise ValueError(f"unexpected 3-D leaf {a.shape}")
+        return a
+
+    dist_model = jax.tree_util.tree_map(repartition, model)
+    dist_state = jax.tree_util.tree_map(repartition, state)
+
+    local_grid = dataclasses.replace(dist_model.grid, Nx=nx, Ny=ny)
+    local_grid_ext = dataclasses.replace(dist_model.grid_ext, Nx=nx, Ny=ny)
+    dist_model = dataclasses.replace(dist_model, grid=local_grid, grid_ext=local_grid_ext)
+
+    put = lambda tree: jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, _pspec_for(leaf))), tree)
+    return put(dist_model), put(dist_state)
+
+
+def gather_state2d(dist_state: State, model_serial: HydrostaticModel, mesh: Mesh) -> State:
+    """Reassemble a serial-layout State (interiors only; halos refresh on next fill)."""
+    n_y, n_x = mesh.devices.shape
+    g, ge = model_serial.grid, model_serial.grid_ext
+    ny, nx = g.Ny // n_y, g.Nx // n_x
+
+    def unpart(a, Hy_k, Hx_k, Yg, Xg):
+        br, bc = ny + 2 * Hy_k, nx + 2 * Hx_k
+        out = np.zeros((Yg, Xg), a.dtype)
+        for ky in range(n_y):
+            for kx in range(n_x):
+                blk = a[ky * br : (ky + 1) * br, kx * bc : (kx + 1) * bc]
+                out[Hy_k + ky * ny : Hy_k + (ky + 1) * ny,
+                    Hx_k + kx * nx : Hx_k + (kx + 1) * nx] = blk[Hy_k : Hy_k + ny,
+                                                                 Hx_k : Hx_k + nx]
+        return out
+
+    def conv(leaf, ext):
+        a = np.asarray(leaf)
+        if a.ndim != 2:
+            return jnp.asarray(a)
+        if ext:
+            return jnp.asarray(unpart(a, ge.Hy, ge.Hx, g.Ny + 2 * ge.Hy, g.Nx + 2 * ge.Hx))
+        return jnp.asarray(unpart(a, g.Hy, g.Hx, g.Ny + 2 * g.Hy, g.Nx + 2 * g.Hx))
+
+    return State(
+        u=conv(dist_state.u, False), v=conv(dist_state.v, False),
+        eta=conv(dist_state.eta, True), U=conv(dist_state.U, True),
+        V=conv(dist_state.V, True), c=conv(dist_state.c, False),
+        Gu=conv(dist_state.Gu, False), Gv=conv(dist_state.Gv, False),
+        Gc=conv(dist_state.Gc, False),
+        t=dist_state.t, iteration=dist_state.iteration,
+    )
+
+
+def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int):
+    """Jitted shard_map-wrapped 2-D step: (state, dt) -> state."""
+    n_y, n_x = mesh.devices.shape
+    spmd = Spmd2D(axis_x="x", axis_y="y", n_x=n_x, n_y=n_y, nx_global=nx_global)
+
+    model_specs = jax.tree_util.tree_map(_pspec_for, dist_model)
+
+    def run(dist_state, dt):
+        state_specs = jax.tree_util.tree_map(_pspec_for, dist_state)
+        fn = jax.shard_map(
+            partial(hydro.step, spmd=spmd),
+            mesh=mesh,
+            in_specs=(model_specs, state_specs, P()),
+            out_specs=state_specs,
+        )
+        return fn(dist_model, dist_state, dt)
+
+    return jax.jit(run)

@@ -1,0 +1,69 @@
+"""2-D (x, y) decomposition tests: the fold-aware x-partitioning the reference never
+supported (BASELINE config #4). Serial vs 2-D-sharded equivalence on 2x4 and 4x2
+meshes over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import orthogonalsphericalshellgrids_tpu as osg
+from orthogonalsphericalshellgrids_tpu.models import (
+    SplitExplicitFreeSurface, initial_state, make_model, step,
+)
+from orthogonalsphericalshellgrids_tpu.parallel import (
+    distribute2d, gather_state2d, make_mesh2d, sharded_step_fn2d,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def model_2d(nx=48, ny=32, substeps=6):
+    grid = osg.TripolarGrid.make((nx, ny, 1), dtype=jnp.float64,
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, 0.0)
+
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=substeps),
+                       bottom_height=bottom, decomposition="2d")
+    state = initial_state(
+        model,
+        u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi: 0.05 * np.sin(np.deg2rad(lam) * 3) * np.cos(np.deg2rad(phi) * 2),
+        c=lambda lam, phi: np.sin(2 * np.pi * np.deg2rad(phi) * 8 / 167.0),
+    )
+    return model, state
+
+
+@pytest.mark.parametrize("nx_mesh,ny_mesh", [(2, 4), (4, 2), (8, 1)])
+def test_2d_matches_serial(nx_mesh, ny_mesh):
+    model, state = model_2d()
+    mesh = make_mesh2d(nx_mesh, ny_mesh)
+    dist_model, dist_state = distribute2d(model, state, mesh)
+    fn = sharded_step_fn2d(mesh, dist_model, model.grid.Nx)
+    sj = jax.jit(step)
+
+    s_serial, s_dist = state, dist_state
+    for _ in range(4):
+        s_serial = sj(model, s_serial, 120.0)
+        s_dist = fn(s_dist, 120.0)
+
+    gathered = gather_state2d(s_dist, model, mesh)
+    g, ge = model.grid, model.grid_ext
+    for name, grid_of in [("u", g), ("v", g), ("c", g), ("eta", ge), ("U", ge), ("V", ge)]:
+        a = np.asarray(grid_of.interior(getattr(s_serial, name)))
+        b = np.asarray(grid_of.interior(getattr(gathered, name)))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-13, err_msg=name)
+
+
+def test_2d_rejects_bad_geometry():
+    model, state = model_2d(nx=48, ny=32)
+    with pytest.raises(ValueError):
+        distribute2d(model, state, make_mesh2d(5, 1))
