@@ -134,6 +134,7 @@ def build_tripolar_arrays(
     z=(0.0, 1.0),
     north_poles_latitude=55.0,
     first_pole_longitude=70.0,
+    backend="auto",
 ):
     """Build all tripolar coordinate/metric arrays in float64 numpy.
 
@@ -161,11 +162,26 @@ def build_tripolar_arrays(
     phiF1 = phiC1 - dphi / 2.0
 
     # Murray mapping at the 4 staggered locations; λ1D pairs with x-location, φ1D with
-    # y-location (src/generate_tripolar_coordinates.jl:56-59).
-    lam_ff, phi_ff = _murray_mapping(lamF1, phiF1, Nx, focal_distance, first_pole_longitude)
-    lam_fc, phi_fc = _murray_mapping(lamF1, phiC1, Nx, focal_distance, first_pole_longitude)
-    lam_cf, phi_cf = _murray_mapping(lamC1, phiF1, Nx, focal_distance, first_pole_longitude)
-    lam_cc, phi_cc = _murray_mapping(lamC1, phiC1, Nx, focal_distance, first_pole_longitude)
+    # y-location (src/generate_tripolar_coordinates.jl:56-59). The native C++/OpenMP
+    # kernels (native/tripolar_gen.cpp) accelerate large grids — the reference's own
+    # noted bottleneck at sub-kilometer resolution (src/tripolar_grid.jl:68-71).
+    from . import native as _native
+
+    use_native = backend == "native" or (
+        backend == "auto" and Nx * Ny >= 512 * 256 and _native.available()
+    )
+    if backend == "native" and not _native.available():
+        raise RuntimeError("native grid-generation backend requested but unavailable")
+    if use_native:
+        mapper = lambda l1, p1: _native.murray_coords(
+            l1, p1, Nx, focal_distance, first_pole_longitude)
+    else:
+        mapper = lambda l1, p1: _murray_mapping(
+            l1, p1, Nx, focal_distance, first_pole_longitude)
+    lam_ff, phi_ff = mapper(lamF1, phiF1)
+    lam_fc, phi_fc = mapper(lamF1, phiC1)
+    lam_cf, phi_cf = mapper(lamC1, phiF1)
+    lam_cc, phi_cc = mapper(lamC1, phiC1)
 
     # circshift by Nλ÷4 puts pole 1 at i=1 and pole 2 at i=Nλ/2+1
     # (src/tripolar_grid.jl:119-130).
@@ -201,32 +217,38 @@ def build_tripolar_arrays(
     def hav(lam, phi, Ja, Ia, Jb, Ib):
         return geo.haversine(lam[Ja, Ia], phi[Ja, Ia], lam[Jb, Ib], phi[Jb, Ib], radius, xp=np)
 
-    dx_cc = hav(lamFC, phiFC, J, Ip, J, I)
-    dx_fc = hav(lamCC, phiCC, J, I, J, Im)
-    dx_cf = hav(lamFF, phiFF, J, Ip, J, I)
-    dx_ff = hav(lamCF, phiCF, J, I, J, Im)
+    if use_native:
+        metrics = _native.metric_arcs(coords, Nx, Ny, Hx, Hy, radius)
+        dx_cc, dx_fc, dx_cf, dx_ff = (metrics[k] for k in ("dx_cc", "dx_fc", "dx_cf", "dx_ff"))
+        dy_cc, dy_fc, dy_cf, dy_ff = (metrics[k] for k in ("dy_cc", "dy_fc", "dy_cf", "dy_ff"))
+        az_cc, az_fc, az_cf, az_ff = (metrics[k] for k in ("az_cc", "az_fc", "az_cf", "az_ff"))
+    else:
+        dx_cc = hav(lamFC, phiFC, J, Ip, J, I)
+        dx_fc = hav(lamCC, phiCC, J, I, J, Im)
+        dx_cf = hav(lamFF, phiFF, J, Ip, J, I)
+        dx_ff = hav(lamCF, phiCF, J, I, J, Im)
 
-    dy_cc = hav(lamCF, phiCF, Jp, I, J, I)
-    dy_fc = hav(lamFF, phiFF, Jp, I, J, I)
-    dy_cf = hav(lamCC, phiCC, J, I, Jm, I)
-    dy_ff = hav(lamFC, phiFC, J, I, Jm, I)
+        dy_cc = hav(lamCF, phiCF, Jp, I, J, I)
+        dy_fc = hav(lamFF, phiFF, Jp, I, J, I)
+        dy_cf = hav(lamCC, phiCC, J, I, Jm, I)
+        dy_ff = hav(lamFC, phiFC, J, I, Jm, I)
 
-    def cart(phi, lam, Ja, Ia):
-        return geo.lat_lon_to_cartesian(phi[Ja, Ia], lam[Ja, Ia], 1.0, xp=np)
+        def cart(phi, lam, Ja, Ia):
+            return geo.lat_lon_to_cartesian(phi[Ja, Ia], lam[Ja, Ia], 1.0, xp=np)
 
-    # Az_CC: spherical quadrilateral of the four surrounding FF nodes (:23-28).
-    az_cc = geo.spherical_area_quadrilateral(
-        cart(phiFF, lamFF, J, I), cart(phiFF, lamFF, J, Ip),
-        cart(phiFF, lamFF, Jp, Ip), cart(phiFF, lamFF, Jp, I), xp=np,
-    ) * radius**2
-    # Az_FC / Az_CF as edge-length products for kinetic-energy conservation (:30-35).
-    az_fc = dy_fc * dx_fc
-    az_cf = dy_cf * dx_cf
-    # Az_FF: spherical quadrilateral of the four surrounding CC nodes (:37-43).
-    az_ff = geo.spherical_area_quadrilateral(
-        cart(phiCC, lamCC, Jm, Im), cart(phiCC, lamCC, Jm, I),
-        cart(phiCC, lamCC, J, I), cart(phiCC, lamCC, J, Im), xp=np,
-    ) * radius**2
+        # Az_CC: spherical quadrilateral of the four surrounding FF nodes (:23-28).
+        az_cc = geo.spherical_area_quadrilateral(
+            cart(phiFF, lamFF, J, I), cart(phiFF, lamFF, J, Ip),
+            cart(phiFF, lamFF, Jp, Ip), cart(phiFF, lamFF, Jp, I), xp=np,
+        ) * radius**2
+        # Az_FC / Az_CF as edge-length products for kinetic-energy conservation (:30-35).
+        az_fc = dy_fc * dx_fc
+        az_cf = dy_cf * dx_cf
+        # Az_FF: spherical quadrilateral of the four surrounding CC nodes (:37-43).
+        az_ff = geo.spherical_area_quadrilateral(
+            cart(phiCC, lamCC, Jm, Im), cart(phiCC, lamCC, Jm, I),
+            cart(phiCC, lamCC, J, I), cart(phiCC, lamCC, J, Im), xp=np,
+        ) * radius**2
 
     metrics = {
         "dx_cc": dx_cc, "dx_fc": dx_fc, "dx_cf": dx_cf, "dx_ff": dx_ff,

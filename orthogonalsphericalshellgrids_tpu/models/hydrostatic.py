@@ -489,8 +489,9 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
     if tend_pallas and model.use_pallas:
         from ..ops.pallas_tend import tendencies_pallas
 
+        SBs = SB if not isinstance(SB, tuple) else jnp.stack(SB)
         dpack_t = jnp.concatenate(
-            [SB, jnp.stack([state.Gu, state.Gv, state.Gc])], axis=0)
+            [SBs, jnp.stack([state.Gu, state.Gv, state.Gc])], axis=0)
         Gu, Gv, Gc, GUb, GVb, c_new = tendencies_pallas(
             model.tend_pack, dpack_t, w1, w2, dt,
             coriolis=model.coriolis,
