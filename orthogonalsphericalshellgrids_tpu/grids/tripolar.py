@@ -440,6 +440,17 @@ except Exception:  # pragma: no cover - numpy-only environments
     pass
 
 
+def cartesian_nodes(grid: TripolarGrid, loc="ff"):
+    """Unit-sphere cartesian (x, y, z) interior node arrays at a staggered location.
+
+    Equivalent of the reference's ``get_cartesian_nodes_and_vertices`` node half
+    (used by ``examples/visualize_tripolar_grid.jl:41-45`` and the orthogonality
+    test ``test/test_tripolar_grid.jl``)."""
+    lam = grid.interior(getattr(grid, f"lam_{loc}"))
+    phi = grid.interior(getattr(grid, f"phi_{loc}"))
+    return geo.lat_lon_to_cartesian(np.asarray(phi), np.asarray(lam), 1.0, xp=np)
+
+
 def with_halo(grid: TripolarGrid, new_halo) -> TripolarGrid:
     """Regenerate the grid with a different halo from its conformal-mapping parameters.
 

@@ -41,8 +41,9 @@ from ..grids.tripolar import TripolarGrid, with_halo
 from ..ops import zipper
 from ..ops.spmd import fill_halos_spmd, fill_halos_spmd_batch
 from ..ops.spmd2d import Spmd2D, fill_halos_spmd2d_batch
-from ..ops.advection import (centered_faces_from_centers, upwind_select,
-                             weno5_centers_from_faces, weno5_faces_from_centers)
+from ..ops.advection import (centered_faces_from_centers,
+                             weno5_upwind_centers_from_faces,
+                             weno5_upwind_faces_from_centers)
 from ..ops.location import CC, CF, FC
 from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
 from .split_explicit import SplitExplicitFreeSurface
@@ -241,9 +242,8 @@ def make_model(
 
         baro_pack = pad_pack(jnp.stack([
             ge_dy_fc, ge_dx_cf, inv_az_cc_e,
-            g_accel * h_u_e * inv_dx_fc_e,   # pressure-gradient factor / dtau
-            g_accel * h_v_e * inv_dy_cf_e,
-            mask_u_e, mask_v_e,
+            g_accel * h_u_e * inv_dx_fc_e,   # pressure-gradient factor / dtau; h_u is
+            g_accel * h_v_e * inv_dy_cf_e,   # exactly 0 on land, so no mask plane
         ]))
         inv_dx_fc = _inv(g_dx_fc)
         inv_dy_cf = _inv(g_dy_cf)
@@ -373,8 +373,7 @@ def tendencies(model: HydrostaticModel, u, v, c):
     # --- u-equation (FC): + q̃ v̂ − δxᶠ(K)/Δxᶠᶜ
     v_hat = ixf(iyc(g.dx_cf * v)) * model.inv_dx_fc
     if upwind_q:
-        zl, zr = weno5_centers_from_faces(q, axis=-2)
-        q_at_u = upwind_select(v_hat, zl, zr)
+        q_at_u = weno5_upwind_centers_from_faces(q, v_hat, axis=-2)
     else:
         q_at_u = iyc(q)
     ke = 0.5 * (ixc(u * u) + iyc(v * v))
@@ -383,8 +382,7 @@ def tendencies(model: HydrostaticModel, u, v, c):
     # --- v-equation (CF): − q̃ û − δyᶠ(K)/Δyᶜᶠ
     u_hat = iyf(ixc(g.dy_fc * u)) * model.inv_dy_cf
     if upwind_q:
-        zl, zr = weno5_centers_from_faces(q, axis=-1)
-        q_at_v = upwind_select(u_hat, zl, zr)
+        q_at_v = weno5_upwind_centers_from_faces(q, u_hat, axis=-1)
     else:
         q_at_v = ixc(q)
     Gv = (-q_at_v * u_hat - dyf(ke) * model.inv_dy_cf) * ib.mask_v
@@ -393,10 +391,8 @@ def tendencies(model: HydrostaticModel, u, v, c):
     # FluxFormAdvection(WENO/Centered) options); transports carry the column depth so
     # the advected content is conserved against the free-surface divergence
     if model.tracer_advection == "weno5":
-        cl, cr = weno5_faces_from_centers(c, axis=-1)
-        cx = upwind_select(u, cl, cr)
-        cl, cr = weno5_faces_from_centers(c, axis=-2)
-        cy = upwind_select(v, cl, cr)
+        cx = weno5_upwind_faces_from_centers(c, u, axis=-1)
+        cy = weno5_upwind_faces_from_centers(c, v, axis=-2)
     elif model.tracer_advection == "centered":
         cx = centered_faces_from_centers(c, axis=-1)
         cy = centered_faces_from_centers(c, axis=-2)
@@ -456,7 +452,7 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=No
 
 
 def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
-         fill_mode="batch") -> State:
+         fill_mode=None) -> State:
     """One full time step (reference call stack SURVEY.md §3.4): halo fills, WENO
     tendencies, quasi-AB2 extrapolation, communication-free barotropic subcycling,
     barotropic-velocity corrector (single-layer: u = U/H), tracer update.
@@ -468,9 +464,12 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
     ge = model.grid_ext
     dt = jnp.asarray(dt, model.dtype)
 
-    # halo fill of the three baroclinic prognostics (batched by default; per-field
-    # mode exists for backends where the stack copies cost more than the saved
-    # dispatches)
+    # Halo-fill mode: per-field for serial runs (the stack/unstack round-trips of the
+    # batched path cost ~200 us/step on a v5e at 1/4 degree — measured, see
+    # docs/performance.md), batched for SPMD runs (one collective pair for all
+    # planes beats per-field ppermutes).
+    if fill_mode is None:
+        fill_mode = "batch" if spmd is not None else "per"
     if fill_mode == "batch" or spmd is not None:
         SB = _fill_batch(g, jnp.stack([state.u, state.v, state.c]),
                          [FC, CF, CC], [-1, -1, 1], spmd)
@@ -553,7 +552,7 @@ def compute_cfl_dt(model: HydrostaticModel, state: State, cfl=0.3):
 
 
 def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=None,
-               tend_pallas=None, fill_mode="batch") -> State:
+               tend_pallas=None, fill_mode=None) -> State:
     """n_steps time steps in one traced computation (lax.scan).
 
     Amortizes the per-dispatch overhead of a single jitted call across many steps —

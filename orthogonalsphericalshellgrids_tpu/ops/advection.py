@@ -20,6 +20,8 @@ from .operators import shift_m, shift_p
 __all__ = [
     "weno5_faces_from_centers",
     "weno5_centers_from_faces",
+    "weno5_upwind_faces_from_centers",
+    "weno5_upwind_centers_from_faces",
     "upwind_select",
     "centered_faces_from_centers",
 ]
@@ -76,6 +78,36 @@ def weno5_centers_from_faces(f, axis):
     """
     left, right = weno5_faces_from_centers(f, axis)
     return shift_p(left, axis), shift_p(right, axis)
+
+
+def weno5_upwind_faces_from_centers(c, vel, axis):
+    """Upwind WENO-5 face reconstruction with the biased stencil selected on the
+    INPUTS: bitwise-equal to ``upwind_select(vel, *weno5_faces_from_centers(c, axis))``
+    (``where`` commutes with the elementwise reconstruction) at half the flops — the
+    unselected biased reconstruction is never computed. ``vel`` is the face-located
+    advecting velocity that drives the upwinding."""
+    cm1 = shift_m(c, axis)
+    cm2 = shift_m(cm1, axis)
+    cm3 = shift_m(cm2, axis)
+    cp1 = shift_p(c, axis)
+    cp2 = shift_p(cp1, axis)
+    pos = vel > 0.0
+
+    def sel(a, b):
+        return jnp.where(pos, a, b)
+
+    # positive flow: (c[k-3], c[k-2], c[k-1] | c[k], c[k+1]); negative: mirror image
+    return _weno5_left(sel(cm3, cp2), sel(cm2, cp1), sel(cm1, c), sel(c, cm1),
+                       sel(cp1, cm2))
+
+
+def weno5_upwind_centers_from_faces(f, vel, axis):
+    """Upwind WENO-5 reconstruction of a face field at centers, input-selected.
+
+    Center k sits at face index k+1 of the face field, so the face-level upwinding at
+    index j must use the center velocity at j-1; the result shifts down by one —
+    bitwise-equal to ``upwind_select(vel, *weno5_centers_from_faces(f, axis))``."""
+    return shift_p(weno5_upwind_faces_from_centers(f, shift_m(vel, axis), axis), axis)
 
 
 def upwind_select(vel, left, right):

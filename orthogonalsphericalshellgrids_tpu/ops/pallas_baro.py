@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["barotropic_substeps_pallas", "pad_pack", "DEFAULT_BLOCK_ROWS"]
 
-DEFAULT_BLOCK_ROWS = 96
+DEFAULT_BLOCK_ROWS = 128
 
 
 def _geometry(Ye, n_sub, block_rows):
@@ -80,7 +80,7 @@ def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
     dma_s.wait()
     dma_d.wait()
 
-    DY_FC, DX_CF, C_AZ, C_U, C_V, MASK_U, MASK_V = range(7)
+    DY_FC, DX_CF, C_AZ, C_U, C_V = range(5)
     ETA, U, V, GU, GV = range(5)
 
     dtau = dtau_ref[0]
@@ -123,9 +123,12 @@ def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
         dbuf[ETA] = eta - div
         wrap_cols(ETA)
         eta = dbuf[ETA]
-        dbuf[U] = (Uv - sbuf[C_U] * (eta - rollm_x(eta)) + dbuf[GU]) * sbuf[MASK_U]
+        # No mask factor: c_u/c_v carry h_u/h_v which are exactly 0 on land, and the
+        # caller contract has U/V/GU/GV masked on entry — so land stays 0 without it
+        # (bitwise-equal to the XLA path's explicit mask multiply).
+        dbuf[U] = Uv - sbuf[C_U] * (eta - rollm_x(eta)) + dbuf[GU]
         wrap_cols(U)
-        dbuf[V] = (Vv - sbuf[C_V] * (eta - rollm_y(eta)) + dbuf[GV]) * sbuf[MASK_V]
+        dbuf[V] = Vv - sbuf[C_V] * (eta - rollm_y(eta)) + dbuf[GV]
         wrap_cols(V)
         w = w_ref[m]
         acc[0] += w * dbuf[ETA, pl.ds(off, B), :]
@@ -146,10 +149,12 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
                                dpack=None, wrap_x_each_substep=True):
     """Run the full barotropic loop in one Pallas kernel.
 
-    ``pack_static``: (7, *, *) stacked metric operands
-    [dy_fc, dx_cf, inv_az_cc, g*h_u*inv_dx, g*h_v*inv_dy, mask_u, mask_v] —
+    ``pack_static``: (5, *, *) stacked metric operands
+    [dy_fc, dx_cf, inv_az_cc, g*h_u*inv_dx, g*h_v*inv_dy] —
     may be pre-padded with ``pad_pack`` (models/hydrostatic.make_model does this).
-    ``eta/U/V/GU/GV``: (Ye, Xe), halos pre-filled. Returns the SM05-weighted averages.
+    ``eta/U/V/GU/GV``: (Ye, Xe), halos pre-filled; U/V/GU/GV masked (0 on land — the
+    h_u/h_v factors inside the static planes keep them 0 without a mask plane).
+    Returns the SM05-weighted averages.
 
     Numerical note: the forward-backward update here algebraically matches the XLA
     reference path but folds dtau into precomputed per-plane factors (c_u = dtau*gH/dx
@@ -184,7 +189,7 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
             for _ in range(3)
         ],
         scratch_shapes=[
-            pltpu.VMEM((7, W, Xe_pad), eta.dtype),
+            pltpu.VMEM((5, W, Xe_pad), eta.dtype),
             pltpu.VMEM((5, W, Xe_pad), eta.dtype),
             pltpu.VMEM((3, B, Xe_pad), eta.dtype),
             pltpu.SemaphoreType.DMA(()),
