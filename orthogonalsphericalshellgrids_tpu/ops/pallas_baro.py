@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["barotropic_substeps_pallas", "pad_pack", "DEFAULT_BLOCK_ROWS"]
 
-DEFAULT_BLOCK_ROWS = 128
+DEFAULT_BLOCK_ROWS = 152  # v5e sweep at 1/4 deg: 152 > 128 > 96 (see docs/performance.md)
 
 
 def _geometry(Ye, n_sub, block_rows):

@@ -103,28 +103,31 @@ def _kernel(scal_ref, spack_ref, dpack_ref, gu_out, gv_out, gc_out, gub_out, gvb
     zeta = (a1 - pm_x(a1) - (a2 - pm_y(a2))) * sbuf[INV_AZ_FF]
     q = zeta + sbuf[F_FF] if coriolis else zeta
 
-    def weno_center_from_faces(f, axis_pm, axis_pp):
-        # value at center j (between faces j and j+1), stencils written directly at
-        # the center alignment: left = weno(f[j-2], f[j-1], f[j] | f[j+1], f[j+2]),
-        # right = weno(f[j+3], f[j+2], f[j+1] | f[j], f[j-1]) — identical to
-        # ops/advection.weno5_centers_from_faces.
+    def weno_center_from_faces(f, vel, axis_pm, axis_pp):
+        # Upwind value at center j (between faces j and j+1), stencil selected on the
+        # INPUTS by the sign of ``vel`` (bitwise-equal to computing the left
+        # (f[j-2..j+2]) and right (f[j+3..j-1]) biased reconstructions and selecting,
+        # at half the flops — mirrors ops/advection.weno5_upwind_centers_from_faces).
         m1 = f
         m2 = axis_pm(f)
         m3 = axis_pm(m2)
         pz = axis_pp(f)
         p1 = axis_pp(pz)
-        left = _weno_z(m3, m2, m1, pz, p1)
         p2 = axis_pp(p1)
-        right = _weno_z(p2, p1, pz, m1, m2)
-        return left, right
+        pos = vel > 0.0
+
+        def sel(a, b):
+            return jnp.where(pos, a, b)
+
+        return _weno_z(sel(m3, p2), sel(m2, p1), sel(m1, pz), sel(pz, m1),
+                       sel(p1, m2))
 
     # --- u-equation (FC)
     t = sbuf[DX_CF] * v
     v_hat = 0.5 * (t + pp_y(t))
     v_hat = 0.5 * (v_hat + pm_x(v_hat)) * sbuf[INV_DX_FC]
     if upwind_q:
-        ql, qr = weno_center_from_faces(q, pm_y, pp_y)
-        q_at_u = jnp.where(v_hat > 0.0, ql, qr)
+        q_at_u = weno_center_from_faces(q, v_hat, pm_y, pp_y)
     else:
         q_at_u = 0.5 * (q + pp_y(q))
     u2 = u * u
@@ -137,28 +140,30 @@ def _kernel(scal_ref, spack_ref, dpack_ref, gu_out, gv_out, gc_out, gub_out, gvb
     u_hat = 0.5 * (t + pp_x(t))
     u_hat = 0.5 * (u_hat + pm_y(u_hat)) * sbuf[INV_DY_CF]
     if upwind_q:
-        ql, qr = weno_center_from_faces(q, pm_x, pp_x)
-        q_at_v = jnp.where(u_hat > 0.0, ql, qr)
+        q_at_v = weno_center_from_faces(q, u_hat, pm_x, pp_x)
     else:
         q_at_v = 0.5 * (q + pp_x(q))
     gv = (-q_at_v * u_hat - (ke - pm_y(ke)) * sbuf[INV_DY_CF]) * sbuf[MASK_V]
 
     # --- tracer (CC), flux form
-    def face_recon(cc, axis_pm, axis_pp):
+    def face_recon(cc, vel, axis_pm, axis_pp):
+        # upwind face value, input-selected (see weno_center_from_faces)
         m1 = axis_pm(cc)
         m2 = axis_pm(m1)
         m3 = axis_pm(m2)
         p1 = axis_pp(cc)
-        left = _weno_z(m3, m2, m1, cc, p1)
         p2 = axis_pp(p1)
-        right = _weno_z(p2, p1, cc, m1, m2)
-        return left, right
+        pos = vel > 0.0
+
+        def sel(a, b):
+            return jnp.where(pos, a, b)
+
+        return _weno_z(sel(m3, p2), sel(m2, p1), sel(m1, cc), sel(cc, m1),
+                       sel(p1, m2))
 
     if tracer_weno:
-        cl, cr = face_recon(c, pm_x, pp_x)
-        cx = jnp.where(u > 0.0, cl, cr)
-        cl, cr = face_recon(c, pm_y, pp_y)
-        cy = jnp.where(v > 0.0, cl, cr)
+        cx = face_recon(c, u, pm_x, pp_x)
+        cy = face_recon(c, v, pm_y, pp_y)
     else:
         cx = 0.5 * (c + pm_x(c))
         cy = 0.5 * (c + pm_y(c))
