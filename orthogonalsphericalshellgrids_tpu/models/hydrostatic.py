@@ -477,6 +477,20 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
         SB = (_fill(g, state.u, FC, -1), _fill(g, state.v, CF, -1),
               _fill(g, state.c, CC, 1))
 
+    # The free-surface state fill depends only on `state`, not on the tendencies —
+    # issue it BEFORE the tendency compute so that on a device mesh XLA's
+    # latency-hiding scheduler can overlap this exchange with the WENO stencils
+    # (the comm/compute-overlap item of SURVEY.md §2.3; on one chip the order is
+    # neutral). GU/GV are exchanged separately after the tendencies.
+    if fill_mode == "batch" or spmd is not None:
+        SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
+                          [CC, FC, CF], [1, -1, -1], spmd)
+        eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
+    else:
+        eta_f = _fill(ge, state.eta, CC, 1)
+        U_f = _fill(ge, state.U, FC, -1)
+        V_f = _fill(ge, state.V, CF, -1)
+
     first = state.iteration == 0
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
     w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
@@ -507,23 +521,17 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
         GVb = model.ib.h_v * Gv_s
         c_new = (state.c + dt * Gc_s) * model.ib.mask_c
 
-    # one batched fill for the free-surface stack [eta, U, V, GU, GV] on the extended
-    # grid (GU/GV = depth-integrated forcing, valid through the widened halo rows);
-    # the filled stack IS the Pallas kernel's dynamic operand pack
+    # fill of the depth-integrated forcing planes (valid through the widened halo
+    # rows); eta/U/V were already exchanged above, overlapping the tendency compute
     GU0 = embed_ext(g, ge, GUb)
     GV0 = embed_ext(g, ge, GVb)
     if fill_mode == "batch" or spmd is not None:
-        SE = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V, GU0, GV0]),
-                         [CC, FC, CF, FC, CF], [1, -1, -1, -1, -1], spmd)
-        eta_f, U_f, V_f, GU_f, GV_f = SE[0], SE[1], SE[2], SE[3], SE[4]
-        dpack = SE
+        SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
+        GU_f, GV_f = SG[0], SG[1]
     else:
-        eta_f = _fill(ge, state.eta, CC, 1)
-        U_f = _fill(ge, state.U, FC, -1)
-        V_f = _fill(ge, state.V, CF, -1)
         GU_f = _fill(ge, GU0, FC, -1)
         GV_f = _fill(ge, GV0, CF, -1)
-        dpack = None
+    dpack = None
 
     eta_a, U_a, V_a = barotropic_substeps(
         model, eta_f, U_f, V_f, GU_f, GV_f, dt, dpack=dpack,

@@ -3,14 +3,21 @@
 TPU-native equivalent of the reference's ``JLD2OutputWriter`` + ``FieldTimeSeries``
 pair (SURVEY.md O11; ``examples/bickley_jet.jl:79-82, :92-93``): periodic field dumps
 with an optional ``with_halos`` flag, and a reader that loads the dump back as arrays
-with times. The container format is compressed ``.npz`` (one file per run, appended
-snapshots), chosen over JLD2/zarr because it is dependency-free and the gather is a
-single device→host transfer per snapshot.
+with times.
+
+Container format: a zip of ``.npy`` members (``numpy.load``-compatible), one member
+per field per snapshot (``c.000004.npy``), appended in O(snapshot) time — the
+JLD2-style append without rewriting history. Writes optionally run on a background
+thread (``async_write=True``) so compression/disk IO overlaps the simulation's device
+compute — the double-buffered output path of a production run.
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
+import zipfile
 from typing import Callable
 
 import numpy as np
@@ -24,22 +31,33 @@ class OutputWriter:
     ``outputs`` maps name -> callable(sim) -> array (device arrays are pulled to host).
     Mirrors the reference writer usage (fields + derived diagnostics like ζ,
     examples/bickley_jet.jl:79-82). ``with_halos=False`` crops to the interior using
-    the model's base grid.
+    the model's base (or extended) grid. ``async_write=True`` moves compression and
+    disk IO to a writer thread; call ``close()`` (or rely on the Simulation's run end)
+    to drain it.
     """
 
     def __init__(self, filename: str, outputs: dict[str, Callable], with_halos: bool = False,
-                 overwrite_existing: bool = True):
+                 overwrite_existing: bool = True, async_write: bool = False,
+                 compress: bool = True):
         self.filename = filename
         self.outputs = outputs
         self.with_halos = with_halos
-        self._snaps: dict[str, list] = {name: [] for name in outputs}
-        self._times: list[float] = []
+        self._count = 0
+        self._compression = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
         if overwrite_existing and os.path.exists(filename):
             os.remove(filename)
+        self._queue: queue.Queue | None = None
+        self._worker: threading.Thread | None = None
+        if async_write:
+            self._queue = queue.Queue(maxsize=4)  # bounded: backpressure, not OOM
+            self._worker = threading.Thread(target=self._drain, daemon=True)
+            self._worker.start()
+
+    # -- capture ------------------------------------------------------------------
 
     def __call__(self, sim) -> None:
         g = sim.model.grid
-        self._times.append(sim.time)
+        arrs = {}
         for name, fn in self.outputs.items():
             arr = np.asarray(fn(sim))
             if not self.with_halos and arr.shape == g.shape2d:
@@ -47,14 +65,39 @@ class OutputWriter:
             elif not self.with_halos and arr.shape == sim.model.grid_ext.shape2d:
                 ge = sim.model.grid_ext
                 arr = arr[ge.interior2d]
-            self._snaps[name].append(arr)
-        self.flush()
+            arrs[name] = arr
+        job = (self._count, float(sim.time), arrs)
+        self._count += 1
+        if self._queue is not None:
+            self._queue.put(job)
+        else:
+            self._write(job)
 
-    def flush(self) -> None:
-        payload = {"times": np.asarray(self._times)}
-        for name, snaps in self._snaps.items():
-            payload[name] = np.stack(snaps) if snaps else np.zeros((0,))
-        np.savez_compressed(self.filename, **payload)
+    # -- writing ------------------------------------------------------------------
+
+    def _write(self, job) -> None:
+        k, t, arrs = job
+        with zipfile.ZipFile(self.filename, "a", compression=self._compression) as z:
+            for name, arr in arrs.items():
+                with z.open(f"{name}.{k:06d}.npy", "w") as f:
+                    np.lib.format.write_array(f, np.ascontiguousarray(arr))
+            with z.open(f"times.{k:06d}.npy", "w") as f:
+                np.lib.format.write_array(f, np.asarray(t))
+
+    def _drain(self) -> None:
+        while True:
+            job = self._queue.get()
+            if job is None:
+                return
+            self._write(job)
+            self._queue.task_done()
+
+    def close(self) -> None:
+        """Drain the async writer (no-op for synchronous writers)."""
+        if self._queue is not None:
+            self._queue.join()
+
+    flush = close  # backward-compatible alias
 
 
 class FieldTimeSeries:
@@ -64,8 +107,13 @@ class FieldTimeSeries:
 
     def __init__(self, filename: str, name: str):
         with np.load(filename) as data:
-            self.times = data["times"]
-            self._data = data[name]
+            tkeys = sorted(k for k in data.files if k.startswith("times."))
+            self.times = np.asarray([float(data[k]) for k in tkeys])
+            fkeys = sorted(k for k in data.files if k.startswith(name + "."))
+            if len(fkeys) != len(tkeys):
+                raise KeyError(f"field {name!r} has {len(fkeys)} snapshots, "
+                               f"expected {len(tkeys)}")
+            self._data = np.stack([data[k] for k in fkeys]) if fkeys else np.zeros((0,))
 
     def __len__(self):
         return len(self.times)

@@ -151,4 +151,8 @@ class Simulation:
                 if schedule(it, t):
                     fn(self)
         jax.block_until_ready(self.state)
+        for _, fn in self.callbacks:  # drain async output writers
+            close = getattr(fn, "close", None)
+            if callable(close):
+                close()
         return self.state

@@ -93,3 +93,43 @@ def test_diagnostics():
     assert float(ke.min()) >= 0
     assert 0.9 < float(umax) <= 1.2
     assert float(cfl) > 0
+
+
+def test_output_writer_round_trip(tmp_path):
+    from orthogonalsphericalshellgrids_tpu.utils.output import FieldTimeSeries, OutputWriter
+    from orthogonalsphericalshellgrids_tpu.utils.simulation import (
+        IterationInterval, Simulation)
+
+    model, state = make()
+    path = str(tmp_path / "run.npz")
+    writer = OutputWriter(path, {
+        "c": lambda sim: sim.state.c,
+        "eta": lambda sim: sim.state.eta,   # extended-grid field: interior crop differs
+    })
+    sim = Simulation(model, state, dt=60.0, stop_iteration=4)
+    sim.add_callback(writer, IterationInterval(2))
+    sim.run()
+
+    fts = FieldTimeSeries(path, "c")
+    assert len(fts) == 2
+    assert fts[0].shape == (model.grid.Ny, model.grid.Nx)
+    assert np.all(np.isfinite(fts.data))
+    np.testing.assert_allclose(fts.times, [120.0, 240.0])
+    eta = FieldTimeSeries(path, "eta")
+    assert eta[0].shape == (model.grid_ext.Ny, model.grid_ext.Nx)
+
+
+def test_output_writer_async(tmp_path):
+    from orthogonalsphericalshellgrids_tpu.utils.output import FieldTimeSeries, OutputWriter
+    from orthogonalsphericalshellgrids_tpu.utils.simulation import (
+        IterationInterval, Simulation)
+
+    model, state = make()
+    path = str(tmp_path / "run_async.npz")
+    writer = OutputWriter(path, {"c": lambda sim: sim.state.c}, async_write=True)
+    sim = Simulation(model, state, dt=60.0, stop_iteration=4)
+    sim.add_callback(writer, IterationInterval(1))
+    sim.run()  # run() drains the writer thread
+
+    fts = FieldTimeSeries(path, "c")
+    assert len(fts) == 4 and np.all(np.isfinite(fts.data))
