@@ -63,12 +63,15 @@ void murray_coords(const double* lam1d, const double* phi1d,
             const double y = a * cosd(lam1d[i]) * sh;
             double lam;
             if (x == 0.0 && y == 0.0) {
-                lam = (i == 0) ? -90.0 : 90.0;  // north-pole special case (i==1 Julia)
+                // north-pole special case (i==1 Julia); expressed on the longitude
+                // value (i==0 <=> lam==-180 for the canonical [-180,180) input) so a
+                // circshifted 1-D input yields the circshifted output directly
+                lam = (lam1d[i] == -180.0) ? -90.0 : 90.0;
             } else {
                 lam = -(180.0 / M_PI) * std::atan(y / x);
             }
             const double phi = 90.0 - (360.0 / M_PI) * std::atan(std::sqrt(x * x + y * y));
-            lam += (i < nx / 2) ? -90.0 : 90.0;
+            lam += (lam1d[i] < 0.0) ? -90.0 : 90.0;  // hemisphere shift (i < nx/2)
             lam += first_pole_longitude + 90.0;
             lam2[j * nx + i] = wrap360(lam);
             phi2[j * nx + i] = phi;

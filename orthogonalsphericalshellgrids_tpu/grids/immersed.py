@@ -79,7 +79,7 @@ def make_immersed_boundary(grid: TripolarGrid, bottom_height: Callable | Any) ->
     bot[grid.interior2d] = bot_int
     # Zipper(+1) fold + periodic wrap; south halo: zero-gradient (land below -80 anyway)
     bot = zipper.fill_halos(bot, CC, 1, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
-                            south="zero_gradient", xp=np)
+                            south="zero_gradient", xp=np, inplace=True)  # bot is owned
 
     # All derived arrays computed host-side in f64, shipped as ONE stacked transfer and
     # split in ONE jit (remote-TPU eager ops pay a compile round-trip each).

@@ -97,25 +97,35 @@ def _murray_mapping(lam1d, phi1d, Nx, focal_distance, first_pole_longitude):
 
     # Exactly at the north pole (x == 0 == y) the longitude is undefined; pick the
     # value continuous with the surrounding points (i==1 -> -90, else 90; reference
-    # lines :74-77, 1-based i).
-    i0 = np.arange(Nx)[None, :]
+    # lines :74-77, 1-based i). The index tests are expressed on the 1-D longitude
+    # instead (i==0 <=> lam==-180, i<Nx/2 <=> lam<0 for the canonical [-180,180)
+    # input) so that a circshifted 1-D input yields the circshifted output directly
+    # — the caller folds the reference's 8 full-array circshifts (:119-130) into a
+    # free 1-D roll.
     on_pole = (x == 0.0) & (y == 0.0)
-    lam2 = np.where(on_pole, np.where(i0 == 0, -90.0, 90.0), lam2)
+    lam2 = np.where(on_pole, np.where(lam == -180.0, -90.0, 90.0), lam2)
 
     phi2 = 90.0 - (360.0 / math.pi) * np.arctan(np.sqrt(x * x + y * y))
 
     # Hemisphere shift (:82, Julia i <= Nλ÷2 is 1-based), pole-longitude shift (:86),
     # wrap to [0, 360) (:87).
-    lam2 = lam2 + np.where(i0 < Nx // 2, -90.0, 90.0)
+    lam2 = lam2 + np.where(lam < 0.0, -90.0, 90.0)
     lam2 = lam2 + first_pole_longitude + 90.0
     lam2 = geo.convert_to_0_360(lam2)
     return lam2, phi2
 
 
 def _embed_with_halo(interior_yx, Hx, Hy):
-    """Embed an interior (Ny, Nx) array into a zero-initialized halo-inclusive array."""
+    """Embed an interior (Ny, Nx) array into a halo-inclusive array (halo zeroed).
+
+    Only the halo strips are zero-filled — a full ``np.zeros`` pass costs a second
+    write of the whole array, which dominates construction on bandwidth-poor hosts."""
     Ny, Nx = interior_yx.shape
-    out = np.zeros((Ny + 2 * Hy, Nx + 2 * Hx), dtype=interior_yx.dtype)
+    out = np.empty((Ny + 2 * Hy, Nx + 2 * Hx), dtype=interior_yx.dtype)
+    out[:Hy, :] = 0.0
+    out[Hy + Ny :, :] = 0.0
+    out[:, :Hx] = 0.0
+    out[:, Hx + Nx :] = 0.0
     out[Hy : Hy + Ny, Hx : Hx + Nx] = interior_yx
     return out
 
@@ -123,7 +133,10 @@ def _embed_with_halo(interior_yx, Hx, Hy):
 def _fill_coord_halos(A, loc, Nx, Ny, Hx, Hy):
     """Coordinate/metric halo fill: zipper(+1) north, periodic x, open south
     (``src/tripolar_grid.jl:147-152``: manual BCs with sign +1 for coords/metrics)."""
-    return zipper.fill_halos(A, loc, 1, Nx, Ny, Hx, Hy, south="none", fold=True, xp=np)
+    # inplace: A is the fresh buffer from _embed_with_halo — avoid ~1 GB of
+    # copy-on-write memcpy across the 20 coordinate/metric fills at 1/4 degree
+    return zipper.fill_halos(A, loc, 1, Nx, Ny, Hx, Hy, south="none", fold=True, xp=np,
+                             inplace=True)
 
 
 def build_tripolar_arrays(
@@ -178,20 +191,23 @@ def build_tripolar_arrays(
     else:
         mapper = lambda l1, p1: _murray_mapping(
             l1, p1, Nx, focal_distance, first_pole_longitude)
+    # circshift by Nλ÷4 puts pole 1 at i=1 and pole 2 at i=Nλ/2+1
+    # (src/tripolar_grid.jl:119-130). The mapping is pointwise in the 1-D longitude
+    # (its index tests are longitude-valued), so the 8 full-array circshifts become a
+    # free roll of the two 1-D inputs — at 1/12 degree that saves ~0.5 GB of memcpy.
+    shift = Nx // 4
+    lamF1 = np.roll(lamF1, shift)
+    lamC1 = np.roll(lamC1, shift)
+
     lam_ff, phi_ff = mapper(lamF1, phiF1)
     lam_fc, phi_fc = mapper(lamF1, phiC1)
     lam_cf, phi_cf = mapper(lamC1, phiF1)
     lam_cc, phi_cc = mapper(lamC1, phiC1)
 
-    # circshift by Nλ÷4 puts pole 1 at i=1 and pole 2 at i=Nλ/2+1
-    # (src/tripolar_grid.jl:119-130).
-    shift = Nx // 4
-    coords = {}
-    for name, arr in [
-        ("lam_ff", lam_ff), ("phi_ff", phi_ff), ("lam_fc", lam_fc), ("phi_fc", phi_fc),
-        ("lam_cf", lam_cf), ("phi_cf", phi_cf), ("lam_cc", lam_cc), ("phi_cc", phi_cc),
-    ]:
-        coords[name] = np.roll(arr, shift, axis=-1)
+    coords = {
+        "lam_ff": lam_ff, "phi_ff": phi_ff, "lam_fc": lam_fc, "phi_fc": phi_fc,
+        "lam_cf": lam_cf, "phi_cf": phi_cf, "lam_cc": lam_cc, "phi_cc": phi_cc,
+    }
 
     # Halo fill of the coordinates through the zipper(+1)/periodic path
     # (src/tripolar_grid.jl:137-186).

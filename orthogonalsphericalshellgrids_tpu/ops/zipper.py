@@ -39,10 +39,13 @@ from .location import CENTER, FACE, validate_location
 __all__ = ["fold_north", "wrap_x", "fill_south", "fill_halos", "fill_halos_batch"]
 
 
-def _set(A, yslc, xslc, value, xp):
-    """Strip write: functional on jnp (`.at[].set`), in-place on numpy."""
+def _set(A, yslc, xslc, value, xp, inplace=False):
+    """Strip write: functional on jnp (`.at[].set`); on numpy, copy-on-write unless
+    the caller owns the buffer (``inplace=True`` — the grid-construction path, where
+    copying every strip write costs ~1 GB of memcpy at 1/4 degree)."""
     if xp is np:
-        A = np.array(A, copy=True)
+        if not inplace:
+            A = np.array(A, copy=True)
         A[..., yslc, xslc] = value
         return A
     return A.at[..., yslc, xslc].set(value)
@@ -68,7 +71,7 @@ def _mirror_x_interior(I, lx, sign, Nx, xp):
     return M, sign_row
 
 
-def fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=np):
+def fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=np, inplace=False):
     """Apply the zipper fold: rewrite the north halo rows (and, for center-y fields,
     the redundant half of the last interior row) of halo-inclusive ``A``.
 
@@ -101,17 +104,19 @@ def fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=np):
 
     # periodic x-wrap of the strip, written in one shot across the full width
     full = xp.concatenate([strip[..., Nx - Hx :], strip, strip[..., :Hx]], axis=-1)
-    return _set(A, slice(y0, Hy + Ny + Hy), slice(None), full, xp)
+    return _set(A, slice(y0, Hy + Ny + Hy), slice(None), full, xp, inplace)
 
 
-def wrap_x(A, Nx, Hx, xp=np):
+def wrap_x(A, Nx, Hx, xp=np, inplace=False):
     """Periodic x-wrap of all rows: west halo <- last Hx interior columns, east halo <-
     first Hx interior columns (x is hardcoded Periodic, ``src/tripolar_grid.jl:88``)."""
-    A = _set(A, slice(None), slice(0, Hx), A[..., :, Nx : Nx + Hx], xp)
-    return _set(A, slice(None), slice(Hx + Nx, Hx + Nx + Hx), A[..., :, Hx : 2 * Hx], xp)
+    A = _set(A, slice(None), slice(0, Hx), A[..., :, Nx : Nx + Hx], xp, inplace)
+    # after the first strip write, a numpy A is owned here either way
+    return _set(A, slice(None), slice(Hx + Nx, Hx + Nx + Hx), A[..., :, Hx : 2 * Hx],
+                xp, inplace or xp is np)
 
 
-def fill_south(A, Ny, Hy, mode, xp=np):
+def fill_south(A, Ny, Hy, mode, xp=np, inplace=False):
     """Fill the south halo rows.
 
     The reference leaves the south 'continued'/open (``src/tripolar_grid.jl:149``) —
@@ -126,19 +131,20 @@ def fill_south(A, Ny, Hy, mode, xp=np):
         raise ValueError(f"Unknown south fill mode {mode!r}")
     first = A[..., Hy : Hy + 1, :]
     south = xp.broadcast_to(first, A.shape[:-2] + (Hy, A.shape[-1]))
-    return _set(A, slice(0, Hy), slice(None), south, xp)
+    return _set(A, slice(0, Hy), slice(None), south, xp, inplace)
 
 
-def fill_halos(A, loc, sign, Nx, Ny, Hx, Hy, south="zero_gradient", fold=True, xp=np):
+def fill_halos(A, loc, sign, Nx, Ny, Hx, Hy, south="zero_gradient", fold=True, xp=np,
+               inplace=False):
     """Fused halo fill: south fill, north zipper fold, then periodic x-wrap.
 
     Single-device equivalent of the reference's ``fill_halo_regions!`` on a tripolar
     grid (SURVEY.md stack 3.3): west/east = periodic wrap, north = zipper fold with
     location-dependent index map and sign, south = open. Pure function of ``A``."""
-    A = fill_south(A, Ny, Hy, south, xp=xp)
+    A = fill_south(A, Ny, Hy, south, xp=xp, inplace=inplace)
     if fold and Hy > 0:
-        A = fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=xp)
-    return wrap_x(A, Nx, Hx, xp=xp)
+        A = fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=xp, inplace=inplace)
+    return wrap_x(A, Nx, Hx, xp=xp, inplace=inplace)
 
 
 def fill_halos_batch(S, locs, signs, Nx, Ny, Hx, Hy, south="zero_gradient", xp=np):
