@@ -217,6 +217,26 @@ def make_model(
     ib = make_immersed_boundary(grid, bottom_height)
     ib_e = make_immersed_boundary(grid_ext, bottom_height)
 
+    # Footgun guard: at the two fictitious poles the cell width degenerates (dx -> 0),
+    # so an UNMASKED pole cell makes the barotropic substeps CFL-unstable there (seen
+    # as eta blowing up at phi = north_poles_latitude within ~10 steps in float64).
+    # The reference's workloads always mask the poles with an immersed boundary
+    # (examples/bickley_jet.jl:26-29) — warn if this model does not.
+    dx_i = np.asarray(grid.interior(grid.dx_cc), np.float64)
+    wet = np.asarray(grid.interior(ib.mask_c), np.float64) > 0
+    if wet.any():
+        dx_wet = dx_i[wet]
+        if dx_wet.min() < 1e-3 * np.median(dx_wet):
+            import warnings
+
+            warnings.warn(
+                "Tripolar pole singularities are not masked: the smallest wet cell is "
+                f"{dx_wet.min():.3g} m wide (median {np.median(dx_wet):.3g} m). The "
+                "barotropic substeps will violate CFL there and blow up; mask the two "
+                "poles with bottom_height (see examples/bickley_jet.py).",
+                stacklevel=2,
+            )
+
     dt = grid.dtype
 
     # One fused jit for every derived array (eager ops on a remote TPU pay a compile
