@@ -194,6 +194,11 @@ def sharded_step_fn(mesh: Mesh, dist_model: HydrostaticModel):
             mesh=mesh,
             in_specs=(model_specs, state_specs, P()),
             out_specs=state_specs,
+            # check_vma=False: the varying-mesh-axes checker cannot annotate the
+            # Pallas kernel's ShapeDtypeStruct out_shape (ops/pallas_baro.py) and
+            # rejects the trace; correctness is pinned by the sharded-vs-serial
+            # bitwise tests instead.
+            check_vma=False,
         )
         return fn(dist_model, dist_state, dt)
 
