@@ -46,6 +46,9 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise RuntimeError(f"requested a {n_devices}-device mesh but only "
+                               f"{len(devices)} device(s) are visible")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("y",))
 
