@@ -1,0 +1,42 @@
+"""Example-script smoke tests.
+
+The example scripts are user-facing surface the unit suite doesn't otherwise cover —
+a shard_map/Pallas tracing regression once lived only in the distributed example
+path. These run the scripts' entry points at tiny sizes on the CPU backend."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_convert_to_latlong_frame_example():
+    sys.path.insert(0, REPO)
+    from examples.convert_to_latlong_frame import main
+    main()  # asserts nothing itself; must run cleanly (prints round-trip errors)
+
+
+def test_distributed_example_1d_and_2d():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    for extra in (["--ndev", "2"],
+                  ["--decomp", "2d", "--ndev-x", "2", "--ndev", "1"]):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "examples", "distributed_bickley_jet.py"),
+             "--platform", "cpu", "--nx", "64", "--ny", "48", "--steps", "2",
+             "--dt", "60"] + extra,
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "steps on" in out.stdout, out.stdout
+
+
+def test_visualize_example(tmp_path):
+    sys.path.insert(0, REPO)
+    from examples.visualize_tripolar_grid import main
+    out = str(tmp_path / "nodes.png")
+    main(out)
+    assert os.path.getsize(out) > 10_000
