@@ -133,3 +133,21 @@ def test_output_writer_async(tmp_path):
 
     fts = FieldTimeSeries(path, "c")
     assert len(fts) == 4 and np.all(np.isfinite(fts.data))
+
+
+def test_profiling_helpers(tmp_path):
+    import jax
+    from orthogonalsphericalshellgrids_tpu.models import step
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import time_steps, trace
+
+    model, state = make()
+    sj = jax.jit(step)
+    ms, s = time_steps(sj, model, state, 60.0, n=3, warmup=1)
+    assert ms > 0 and np.isfinite(np.asarray(s.u)).all()
+
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        jax.block_until_ready(sj(model, state, 60.0))
+    import os
+    found = [f for root, _, fs in os.walk(logdir) for f in fs]
+    assert found, "profiler trace produced no files"
