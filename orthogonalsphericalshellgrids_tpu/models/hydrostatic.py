@@ -192,7 +192,8 @@ def make_model(
     use_pallas: bool | None = None,
     tracer_advection: str = "weno5",
     momentum_advection: str = "weno_vector_invariant",
-    decomposition: str = "1d",
+    decomposition: str = "1d",  # accepted for API clarity; both layouts now share the
+                                # widened-x ext grid, so it no longer changes the model
 ) -> HydrostaticModel:
     """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
     rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
