@@ -13,7 +13,8 @@ from ..ops.location import CC, CF, FC
 from ..ops.operators import ixc, iyc
 from .hydrostatic import HydrostaticModel, State, _fill, vorticity
 
-__all__ = ["vertical_vorticity", "kinetic_energy", "max_speeds", "advective_cfl"]
+__all__ = ["vertical_vorticity", "kinetic_energy", "max_speeds", "advective_cfl",
+           "tracer_content", "surface_volume"]
 
 
 @jax.jit
@@ -33,6 +34,22 @@ def kinetic_energy(model: HydrostaticModel, state: State):
     u = _fill(g, state.u, FC, -1)
     v = _fill(g, state.v, CF, -1)
     return 0.5 * (ixc(u * u) + iyc(v * v)) * model.ib.mask_c
+
+
+@jax.jit
+def tracer_content(model: HydrostaticModel, state: State):
+    """Global tracer content Σ c·Az·H — conserved to round-off by the flux-form
+    advection across the zipper fold (pinned in tests/test_model.py)."""
+    g = model.grid
+    return jnp.sum(g.interior(state.c * g.az_cc * model.ib.h_c))
+
+
+@jax.jit
+def surface_volume(model: HydrostaticModel, state: State):
+    """Global free-surface volume anomaly Σ η·Az — conserved by the barotropic
+    divergence update."""
+    ge = model.grid_ext
+    return jnp.sum(ge.interior(state.eta * ge.az_cc))
 
 
 @jax.jit
