@@ -83,7 +83,9 @@ def test_extended_halo_rule():
     # and required anyway for the fold-aware 2-D decomposition).
     grid = osg.TripolarGrid.make((10, 10, 1))
     fs = SplitExplicitFreeSurface(substeps=12)
-    model = make_model(grid, free_surface=fs)
+    # no bottom mask -> the unmasked-pole guard must warn (and only warn)
+    with pytest.warns(UserWarning, match="pole singularities are not masked"):
+        model = make_model(grid, free_surface=fs)
     _, w = averaging_weights(12)
     assert model.grid_ext.Hy == len(w) + 1
     assert model.grid_ext.Hy != grid.Hy
