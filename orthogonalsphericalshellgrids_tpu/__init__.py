@@ -33,10 +33,11 @@ except Exception:
 from .grids.geometry import R_EARTH
 from .grids.tripolar import TripolarGrid, build_tripolar_arrays, with_halo
 from .ops.location import CC, CF, FC, FF, default_zipper_sign, sign_for_field_name
-from .ops.zipper import fill_halos, fold_north, wrap_x
+from .ops.zipper import ZipperBoundaryCondition, fill_halos, fold_north, wrap_x
 
 __all__ = [
     "TripolarGrid",
+    "ZipperBoundaryCondition",
     "build_tripolar_arrays",
     "with_halo",
     "fill_halos",

@@ -32,11 +32,35 @@ offset-array index m via p = m + H - 1.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from .location import CENTER, FACE, validate_location
 
-__all__ = ["fold_north", "wrap_x", "fill_south", "fill_halos", "fill_halos_batch"]
+__all__ = ["ZipperBoundaryCondition", "fold_north", "wrap_x", "fill_south",
+           "fill_halos", "fill_halos_batch"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ZipperBoundaryCondition:
+    """North-fold boundary condition with an explicit sign — the reference's second
+    (and only other) public export (``src/OrthogonalSphericalShellGrids.jl:4``,
+    constructor ``src/zipper_boundary_condition.jl:52`` with default ``sign = 1``).
+
+    In this functional design a boundary condition is not an object threaded through a
+    dispatch hierarchy; it is just the ``(fold, sign)`` pair the halo fill uses. This
+    class exists so user code can *override* the location-derived default sign exactly
+    as in the reference (e.g. force +1 on a Face-located scalar), and as the name
+    users of the reference will look for. ``apply`` performs the fold on a
+    halo-inclusive ``(..., y, x)`` array.
+    """
+
+    sign: int = 1
+
+    def apply(self, A, loc, grid, xp=np):
+        """Fill the north halo of ``A`` (located at ``loc``) across the zipper fold."""
+        return fold_north(A, loc, self.sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy, xp=xp)
 
 
 def _set(A, yslc, xslc, value, xp, inplace=False):

@@ -162,3 +162,23 @@ def test_idempotent_and_jax_matches_numpy():
             zipper.fill_halos(jnp.asarray(A), loc, sign, Nx, Ny, Hx, Hy, xp=jnp)
         )
         np.testing.assert_array_equal(once, jax_out)
+
+
+def test_zipper_boundary_condition_export():
+    """The reference exports exactly TripolarGrid + ZipperBoundaryCondition
+    (src/OrthogonalSphericalShellGrids.jl:4); the default sign is +1
+    (src/zipper_boundary_condition.jl:52). ZBC.apply must equal fold_north with the
+    same sign."""
+    import orthogonalsphericalshellgrids_tpu as osg
+
+    bc = osg.ZipperBoundaryCondition()
+    assert bc.sign == 1
+
+    grid = osg.TripolarGrid.make((Nx, Ny, 1), halo=(Hx, Hy, 1))
+    A = make_field(lambda i, j: 1.0 + 2.0 * i + 3.0 * j)
+    got = osg.ZipperBoundaryCondition(sign=-1).apply(A, FC, grid, xp=np)
+    want = zipper.fold_north(A, FC, -1, Nx, Ny, Hx, Hy, xp=np)
+    np.testing.assert_array_equal(got, want)
+    # overriding the location default: +1 on an FC field is honored as-is
+    got_pos = osg.ZipperBoundaryCondition(sign=+1).apply(A, FC, grid, xp=np)
+    assert not np.array_equal(got_pos, got)
