@@ -6,6 +6,8 @@ diagnostics here are pure jitted functions of (model, state)."""
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -14,7 +16,7 @@ from ..ops.operators import ixc, iyc
 from .hydrostatic import HydrostaticModel, State, _fill, vorticity
 
 __all__ = ["vertical_vorticity", "kinetic_energy", "max_speeds", "advective_cfl",
-           "tracer_content", "surface_volume"]
+           "tracer_content", "surface_volume", "layered_tracer_content", "seam_row_weights"]
 
 
 @jax.jit
@@ -36,20 +38,47 @@ def kinetic_energy(model: HydrostaticModel, state: State):
     return 0.5 * (ixc(u * u) + iyc(v * v)) * model.ib.mask_c
 
 
+def seam_row_weights(Ny, dtype=None):
+    """Row weights for global integrals on a tripolar grid: the last interior row
+    (the fold seam, center row Ny) appears TWICE in index space — columns i and
+    Nx−i+1 of row Ny are the same physical cells (the reference's duplicated-row
+    convention, ``src/zipper_boundary_condition.jl:95-104``) — so it is counted at
+    weight 1/2. With this weighting, flux-form tracer content is conserved exactly
+    even while flow crosses the seam (a straight full sum shows transient drift
+    whenever an asymmetric feature occupies the seam row)."""
+    w = jnp.ones((Ny, 1), dtype=dtype)
+    return w.at[-1, 0].set(0.5)
+
+
 @jax.jit
 def tracer_content(model: HydrostaticModel, state: State):
-    """Global tracer content Σ c·Az·H — conserved to round-off by the flux-form
-    advection across the zipper fold (pinned in tests/test_model.py)."""
+    """Global tracer content Σ c·Az·H with the seam row half-weighted — conserved to
+    round-off by the flux-form advection across the zipper fold (pinned in
+    tests/test_model.py)."""
     g = model.grid
-    return jnp.sum(g.interior(state.c * g.az_cc * model.ib.h_c))
+    w = seam_row_weights(g.Ny, model.dtype)
+    return jnp.sum(g.interior(state.c * g.az_cc * model.ib.h_c) * w)
 
 
 @jax.jit
 def surface_volume(model: HydrostaticModel, state: State):
-    """Global free-surface volume anomaly Σ η·Az — conserved by the barotropic
-    divergence update."""
+    """Global free-surface volume anomaly Σ η·Az (seam row half-weighted) — conserved
+    by the barotropic divergence update."""
     ge = model.grid_ext
-    return jnp.sum(ge.interior(state.eta * ge.az_cc))
+    w = seam_row_weights(ge.Ny, model.dtype)
+    return jnp.sum(ge.interior(state.eta * ge.az_cc) * w)
+
+
+@partial(jax.jit, static_argnames=("field",))
+def layered_tracer_content(model, state, field="c"):
+    """Σ c·Az·dz over all layers (seam row half-weighted): the layered model's
+    conserved tracer functional (zero-flux surface/floor, telescoping interior —
+    pinned in tests/test_layered.py)."""
+    g = model.grid
+    w = seam_row_weights(g.Ny, model.dtype)
+    c = getattr(state, field)
+    vol = model.mask_c3 * model.dz * g.az_cc
+    return jnp.sum((c * vol)[(slice(None),) + g.interior2d] * w)
 
 
 @jax.jit

@@ -1,0 +1,471 @@
+"""Multi-layer (Nz > 1) hydrostatic free-surface model on a tripolar grid.
+
+Every reference workload is single-layer (Nz = 1 throughout examples and tests), but
+the capability surface it exercises — Oceananigans's ``HydrostaticFreeSurfaceModel``
+with ``FluxFormAdvection(WENO, WENO, Centered)`` (``examples/bickley_jet.jl:48``,
+SURVEY.md O5/O7) — is a *layered* hydrostatic engine: the z slot of the advection
+tuple and the model's optional buoyancy only act when Nz > 1. This module provides
+that configuration natively:
+
+- per-layer vector-invariant momentum with WENO-5 upwinded vorticity (same horizontal
+  stencils as the single-layer model — all ops broadcast over the leading z axis),
+- vertical velocity ``w`` diagnosed from continuity (cumulative layer-flux divergence
+  from the sea floor), advective-form ``w ∂z u`` momentum transport,
+- flux-form tracer advection: WENO-5 in x/y + second-order Centered in z (the
+  reference's ``Centered`` z slot), with zero vertical flux through the surface and
+  floor so total tracer content is conserved exactly (telescoping),
+- optional buoyancy tracer ``b`` (Oceananigans ``BuoyancyTracer``): hydrostatic
+  kinematic pressure ``p(z) = -∫_z^0 b dz'`` enters the horizontal momentum equations
+  — the baroclinic pressure gradient,
+- the same split-explicit barotropic engine as the single-layer model (the embedded
+  ``HydrostaticModel`` supplies widened-halo grids, SM05 weights and the Pallas
+  time-tiled kernel): the depth-integrated flow (η, U, V) is subcycled with the
+  thickness-weighted baroclinic forcing, then the layer velocities' depth mean is
+  replaced by the barotropic average (the standard split-explicit corrector),
+- grid-fitted 3-D masking from the same ``bottom_height`` (a layer cell is fluid when
+  its center sits above the bottom — full-cell GridFittedBottom semantics).
+
+Layout: layer axis LEADING — fields are ``(Nz, Ny + 2Hy, Nx + 2Hx)`` with k = 0 the
+SURFACE layer and k increasing downward, so (y, x) stay on the TPU sublane/lane
+dimensions and every horizontal stencil/halo-fill broadcasts unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grids.tripolar import TripolarGrid
+from ..ops import zipper
+from ..ops.spmd import fill_halos_spmd
+from ..ops.advection import (centered_faces_from_centers,
+                             weno5_upwind_centers_from_faces,
+                             weno5_upwind_faces_from_centers)
+from ..ops.location import CC, CF, FC
+from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
+from .hydrostatic import (HydrostaticModel, _CHI, _inv, barotropic_substeps,
+                          crop_ext, embed_ext, make_model)
+from .split_explicit import SplitExplicitFreeSurface
+
+__all__ = [
+    "LayeredState", "LayeredModel", "make_layered_model", "layered_initial_state",
+    "layered_step", "layered_multi_step", "vertical_velocity", "layered_cfl_dt",
+]
+
+
+# --------------------------------------------------------------------------------------
+# Pytrees
+# --------------------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LayeredState:
+    """Prognostics: u/v/c/b are (Nz, Yb, Xb) layer stacks; η/U/V live on the widened
+    free-surface grid exactly as in the single-layer model."""
+
+    u: Any
+    v: Any
+    eta: Any
+    U: Any
+    V: Any
+    c: Any
+    b: Any
+    Gu: Any
+    Gv: Any
+    Gc: Any
+    Gb: Any
+    t: Any
+    iteration: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LayeredModel:
+    """The layered configuration wraps the single-layer model (its grids, metric
+    reciprocals, immersed boundary and barotropic engine are reused as-is) and adds
+    the per-layer mask/thickness arrays and vertical-coordinate metadata."""
+
+    baro: HydrostaticModel
+    # (Nz, Yb, Xb) fluid masks at cell / u-face / v-face
+    mask_c3: Any
+    mask_u3: Any
+    mask_v3: Any
+    # per-layer face thicknesses dz * mask (what the horizontal fluxes carry)
+    dzu: Any
+    dzv: Any
+    # 1-(over) column depth at u/v faces (2-D, zero on land)
+    inv_h_u: Any
+    inv_h_v: Any
+    # static metadata
+    nz: int
+    dz: float
+    buoyancy: bool
+    kappa_v: float   # explicit vertical tracer diffusivity (m^2/s; 0 disables)
+    nu_v: float      # explicit vertical viscosity (m^2/s; 0 disables)
+
+    @property
+    def grid(self):
+        return self.baro.grid
+
+    @property
+    def dtype(self):
+        return self.baro.dtype
+
+
+for _cls, _data, _meta in [
+    (LayeredState, [f.name for f in dataclasses.fields(LayeredState)], []),
+    (LayeredModel,
+     ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v"],
+     ["nz", "dz", "buoyancy", "kappa_v", "nu_v"]),
+]:
+    jax.tree_util.register_dataclass(_cls, data_fields=_data, meta_fields=_meta)
+
+
+# --------------------------------------------------------------------------------------
+# Construction
+# --------------------------------------------------------------------------------------
+
+def make_layered_model(
+    grid: TripolarGrid,
+    free_surface: SplitExplicitFreeSurface | None = None,
+    bottom_height=None,
+    buoyancy: bool = False,
+    coriolis: bool = False,
+    rotation_rate: float = 7.292115e-5,
+    kappa_v: float = 0.0,
+    nu_v: float = 0.0,
+    use_pallas: bool | None = None,
+    tracer_advection: str = "weno5",
+    momentum_advection: str = "weno_vector_invariant",
+) -> LayeredModel:
+    """Assemble the layered model. The embedded single-layer model provides the
+    barotropic engine (widened-halo grid, SM05 weights, Pallas subcycle kernel) and
+    the column-integrated immersed boundary; this adds per-layer (Nz, y, x) masks.
+
+    The layer grid is the TripolarGrid's own z discretization: Nz uniform layers over
+    ``z_bounds`` (``src/tripolar_grid.jl:91`` — generate_coordinate over (z_bottom,
+    z_top)), k = 0 at the surface.
+    """
+    baro = make_model(grid, free_surface=free_surface, bottom_height=bottom_height,
+                      coriolis=coriolis, rotation_rate=rotation_rate,
+                      use_pallas=use_pallas, tracer_advection=tracer_advection,
+                      momentum_advection=momentum_advection)
+    nz = grid.Nz
+    z0, z1 = grid.z_bounds
+    dz = (z1 - z0) / nz
+
+    # Layer-center depths, k = 0 at the surface (z decreasing with k).
+    zc = np.asarray([z1 - (k + 0.5) * dz for k in range(nz)], np.float64)
+
+    # Full-cell GridFittedBottom: layer cell fluid iff its center is above the bottom
+    # AND the column itself is fluid (h_c > 0 — keeps the pole/land masking identical
+    # to the single-layer model's).
+    bot = np.asarray(baro.ib.bottom, np.float64)          # (Yb, Xb), halo-filled
+    col = np.asarray(baro.ib.mask_c, np.float64) > 0
+    wet = (zc[:, None, None] > bot[None]) & col[None]     # (Nz, Yb, Xb)
+    mask_c3 = wet.astype(np.float64)
+    mask_u3 = mask_c3 * np.roll(mask_c3, 1, axis=-1)
+    mask_v3 = mask_c3 * np.roll(mask_c3, 1, axis=-2)
+
+    dt = grid.dtype
+    mask_c3 = jnp.asarray(mask_c3, dt)
+    mask_u3 = jnp.asarray(mask_u3, dt)
+    mask_v3 = jnp.asarray(mask_v3, dt)
+
+    return LayeredModel(
+        baro=baro,
+        mask_c3=mask_c3,
+        mask_u3=mask_u3,
+        mask_v3=mask_v3,
+        dzu=dz * mask_u3,
+        dzv=dz * mask_v3,
+        inv_h_u=_inv(baro.ib.h_u),
+        inv_h_v=_inv(baro.ib.h_v),
+        nz=nz,
+        dz=float(dz),
+        buoyancy=bool(buoyancy),
+        kappa_v=float(kappa_v),
+        nu_v=float(nu_v),
+    )
+
+
+def layered_initial_state(model: LayeredModel, u=None, v=None, c=None, b=None,
+                          eta=None) -> LayeredState:
+    """Initial state from functions of (λ°, φ°, z[m]) evaluated per layer at the
+    proper staggered locations (the reference's ``set!(model, ...)`` semantics with a
+    z argument)."""
+    g = model.grid
+    dt = model.dtype
+    nz = model.nz
+    z0, z1 = g.z_bounds
+    zc = np.asarray([z1 - (k + 0.5) * model.dz for k in range(nz)], np.float64)
+
+    def sample(fn, lam, phi):
+        if fn is None:
+            return np.zeros((nz,) + g.shape2d)
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        out = np.zeros((nz,) + g.shape2d)
+        for k in range(nz):
+            full = np.broadcast_to(np.asarray(fn(lam, phi, zc[k])), g.shape2d)
+            out[k][g.interior2d] = full[g.interior2d]
+        return out
+
+    u_raw = sample(u, g.lam_fc, g.phi_fc)
+    v_raw = sample(v, g.lam_cf, g.phi_cf)
+    c_raw = sample(c, g.lam_cc, g.phi_cc)
+    b_raw = sample(b, g.lam_cc, g.phi_cc)
+    if eta is None:
+        eta_raw = np.zeros(g.shape2d)
+    else:
+        full = np.broadcast_to(
+            np.asarray(eta(np.asarray(g.lam_cc, np.float64),
+                           np.asarray(g.phi_cc, np.float64))), g.shape2d)
+        eta_raw = np.zeros(g.shape2d)
+        eta_raw[g.interior2d] = full[g.interior2d]
+
+    @jax.jit
+    def _assemble(u_raw, v_raw, c_raw, b_raw, eta_raw):
+        u0 = jnp.asarray(u_raw, dt) * model.mask_u3
+        v0 = jnp.asarray(v_raw, dt) * model.mask_v3
+        c0 = jnp.asarray(c_raw, dt) * model.mask_c3
+        b0 = jnp.asarray(b_raw, dt) * model.mask_c3
+        eta0 = jnp.asarray(eta_raw, dt) * model.baro.ib.mask_c
+        U0 = embed_ext(g, model.baro.grid_ext, jnp.sum(u0 * model.dzu, axis=0))
+        V0 = embed_ext(g, model.baro.grid_ext, jnp.sum(v0 * model.dzv, axis=0))
+        eta_e = embed_ext(g, model.baro.grid_ext, eta0)
+        z3 = jnp.zeros((nz,) + g.shape2d, dt)
+        return LayeredState(
+            u=u0, v=v0, eta=eta_e, U=U0, V=V0, c=c0, b=b0,
+            Gu=z3, Gv=z3, Gc=z3, Gb=z3,
+            t=jnp.zeros((), dt), iteration=jnp.zeros((), jnp.int32),
+        )
+
+    return _assemble(u_raw, v_raw, c_raw, b_raw, eta_raw)
+
+
+# --------------------------------------------------------------------------------------
+# Vertical operators (layer axis 0, k = 0 surface; no z halos — edges handled inline)
+# --------------------------------------------------------------------------------------
+
+def vertical_velocity(model: LayeredModel, u, v):
+    """w at layer interfaces (Nz+1, Yb, Xb) from continuity, integrated up from the
+    sea floor (w = 0 there): w_k = -Σ_{j≥k} D_j with D_j the thickness-integrated
+    horizontal flux divergence of layer j. Interface k is the TOP of layer k. Inputs
+    must be halo-filled."""
+    g = model.grid
+    hdiv = (dxc(g.dy_fc * model.dzu * u) + dyc(g.dx_cf * model.dzv * v)) * _inv(g.az_cc)
+    below = jnp.flip(jnp.cumsum(jnp.flip(hdiv, 0), axis=0), 0)   # Σ_{j>=k} D_j
+    return jnp.concatenate([-below, jnp.zeros_like(hdiv[:1])], axis=0)
+
+
+def _w_advect(w_face, q, dz):
+    """Advective-form vertical transport ``w ∂z q`` at layer points from interface
+    velocities ``w_face`` (Nz+1, ...) co-located with q horizontally. Surface and
+    floor interfaces contribute zero (no flux through the boundaries)."""
+    dq = (q[:-1] - q[1:]) / dz                 # ∂z q at interior interfaces 1..Nz-1
+    contrib = w_face[1:-1] * dq
+    zero = jnp.zeros_like(q[:1])
+    upper = jnp.concatenate([zero, contrib], axis=0)   # interface k term, layer k
+    lower = jnp.concatenate([contrib, zero], axis=0)   # interface k+1 term, layer k
+    return 0.5 * (upper + lower)
+
+
+def _vertical_tracer_div(w, c, dz):
+    """-δz(w c̃)/dz with Centered interface reconstruction (the reference's
+    FluxFormAdvection z slot) and ZERO flux through surface and floor — total content
+    telescopes to exact conservation."""
+    cbar = 0.5 * (c[:-1] + c[1:])             # interior interfaces 1..Nz-1
+    F = w[1:-1] * cbar
+    zero = jnp.zeros_like(c[:1])
+    Ffull = jnp.concatenate([zero, F, zero], axis=0)   # (Nz+1, ...)
+    return -(Ffull[:-1] - Ffull[1:]) / dz
+
+
+def _vertical_laplacian(q, dz, mask):
+    """Explicit δz(κ δz q)/dz² with zero-flux boundaries and solid-cell masking."""
+    dq = (q[:-1] - q[1:]) / dz * mask[:-1] * mask[1:]  # flux only between fluid cells
+    zero = jnp.zeros_like(q[:1])
+    Ffull = jnp.concatenate([zero, dq, zero], axis=0)
+    return (Ffull[:-1] - Ffull[1:]) / dz
+
+
+def _hydrostatic_pressure(b, dz):
+    """Kinematic pressure p_k = -∫_{z_k}^0 b dz' at layer centers (k = 0 surface):
+    p_0 = -b_0 dz/2, p_k = p_{k-1} - (b_{k-1} + b_k) dz/2 — via one cumsum."""
+    csum = jnp.cumsum(b * dz, axis=0)
+    return -(csum - 0.5 * dz * b)
+
+
+# --------------------------------------------------------------------------------------
+# Dynamics
+# --------------------------------------------------------------------------------------
+
+def layered_tendencies(model: LayeredModel, u, v, c, b):
+    """Interior tendencies per layer. Horizontal terms are the single-layer stencils
+    broadcast over the leading z axis; vertical advection and the baroclinic pressure
+    gradient are the layered additions. Inputs must be halo-filled."""
+    g = model.grid
+    m = model.baro
+
+    # --- per-layer relative (+ planetary) vorticity and vector-invariant terms
+    zeta = (dxf(g.dy_cf * v) - dyf(g.dx_fc * u)) * m.inv_az_ff
+    q = zeta + m.f_ff if m.coriolis else zeta
+    upwind_q = m.momentum_advection == "weno_vector_invariant"
+
+    v_hat = ixf(iyc(g.dx_cf * v)) * m.inv_dx_fc
+    q_at_u = (weno5_upwind_centers_from_faces(q, v_hat, axis=-2)
+              if upwind_q else iyc(q))
+    ke = 0.5 * (ixc(u * u) + iyc(v * v))
+    Gu = q_at_u * v_hat - dxf(ke) * m.inv_dx_fc
+
+    u_hat = iyf(ixc(g.dy_fc * u)) * m.inv_dy_cf
+    q_at_v = (weno5_upwind_centers_from_faces(q, u_hat, axis=-1)
+              if upwind_q else ixc(q))
+    Gv = -q_at_v * u_hat - dyf(ke) * m.inv_dy_cf
+
+    # --- vertical momentum advection (advective form, centered)
+    w = vertical_velocity(model, u, v)
+    Gu = Gu - _w_advect(ixf(w), u, model.dz)
+    Gv = Gv - _w_advect(iyf(w), v, model.dz)
+
+    # --- baroclinic pressure gradient (BuoyancyTracer): p = -∫ b dz
+    if model.buoyancy:
+        p = _hydrostatic_pressure(b, model.dz)
+        Gu = Gu - dxf(p) * m.inv_dx_fc
+        Gv = Gv - dyf(p) * m.inv_dy_cf
+
+    if model.nu_v > 0.0:
+        Gu = Gu + model.nu_v * _vertical_laplacian(u, model.dz, model.mask_u3)
+        Gv = Gv + model.nu_v * _vertical_laplacian(v, model.dz, model.mask_v3)
+
+    Gu = Gu * model.mask_u3
+    Gv = Gv * model.mask_v3
+
+    # --- tracers: flux-form WENO-5 (x, y) + Centered (z)
+    inv_vol = model.mask_c3 * _inv(g.az_cc * model.dz)
+
+    def tracer_tendency(cq):
+        if m.tracer_advection == "weno5":
+            cx = weno5_upwind_faces_from_centers(cq, u, axis=-1)
+            cy = weno5_upwind_faces_from_centers(cq, v, axis=-2)
+        else:
+            cx = centered_faces_from_centers(cq, axis=-1)
+            cy = centered_faces_from_centers(cq, axis=-2)
+        fx = u * model.dzu * g.dy_fc * cx
+        fy = v * model.dzv * g.dx_cf * cy
+        G = -(dxc(fx) + dyc(fy)) * inv_vol
+        G = G + _vertical_tracer_div(w, cq, model.dz) * model.mask_c3
+        if model.kappa_v > 0.0:
+            G = G + model.kappa_v * _vertical_laplacian(cq, model.dz, model.mask_c3) \
+                * model.mask_c3
+        return G
+
+    Gc = tracer_tendency(c)
+    Gb = tracer_tendency(b) if model.buoyancy else jnp.zeros_like(c)
+
+    return Gu, Gv, Gc, Gb
+
+
+def _fill3(model: LayeredModel, A, loc, sign, spmd=None):
+    """Halo fill of an (Nz, Yb, Xb) stack — every zipper/ppermute op broadcasts over
+    the leading layer axis."""
+    g = model.grid
+    if spmd is None or spmd.n_shards == 1:
+        return zipper.fill_halos(A, loc, sign, g.Nx, g.Ny, g.Hx, g.Hy,
+                                 south="zero_gradient", xp=jnp)
+    return fill_halos_spmd(A, loc, sign, g.Nx, g.Ny, g.Hx, g.Hy, spmd)
+
+
+def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> LayeredState:
+    """One layered time step: halo fills, per-layer tendencies, quasi-AB2, barotropic
+    subcycling of (η, U, V) with the thickness-weighted baroclinic forcing, then the
+    split-explicit corrector that replaces each column's depth-mean velocity with the
+    subcycle average."""
+    g = model.grid
+    m = model.baro
+    ge = m.grid_ext
+    dt = jnp.asarray(dt, model.dtype)
+
+    u = _fill3(model, state.u, FC, -1, spmd)
+    v = _fill3(model, state.v, CF, -1, spmd)
+    c = _fill3(model, state.c, CC, 1, spmd)
+    b = _fill3(model, state.b, CC, 1, spmd) if model.buoyancy else state.b
+
+    # free-surface fields exchanged early (overlappable with the tendency stencils)
+    if spmd is None or spmd.n_shards == 1:
+        eta_f = zipper.fill_halos(state.eta, CC, 1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
+        U_f = zipper.fill_halos(state.U, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
+        V_f = zipper.fill_halos(state.V, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
+    else:
+        eta_f = fill_halos_spmd(state.eta, CC, 1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
+        U_f = fill_halos_spmd(state.U, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
+        V_f = fill_halos_spmd(state.V, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
+
+    Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b)
+
+    first = state.iteration == 0
+    w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
+    w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
+    Gu_s = w1 * Gu - w2 * state.Gu
+    Gv_s = w1 * Gv - w2 * state.Gv
+    Gc_s = w1 * Gc - w2 * state.Gc
+    Gb_s = w1 * Gb - w2 * state.Gb if model.buoyancy else state.Gb
+
+    # thickness-weighted depth integral of the baroclinic forcing drives the subcycle
+    GUb = jnp.sum(Gu_s * model.dzu, axis=0)
+    GVb = jnp.sum(Gv_s * model.dzv, axis=0)
+    GU0 = embed_ext(g, ge, GUb)
+    GV0 = embed_ext(g, ge, GVb)
+    if spmd is None or spmd.n_shards == 1:
+        GU_f = zipper.fill_halos(GU0, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
+        GV_f = zipper.fill_halos(GV0, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
+    else:
+        GU_f = fill_halos_spmd(GU0, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
+        GV_f = fill_halos_spmd(GV0, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
+
+    n_sub = int(m.weights.shape[0])
+    eta_a, U_a, V_a = barotropic_substeps(
+        m, eta_f, U_f, V_f, GU_f, GV_f, dt,
+        wrap_x_each_substep=ge.Hx < n_sub + 1)
+
+    # split-explicit corrector: predictor layers, then replace the depth mean
+    u_star = (state.u + dt * Gu_s) * model.mask_u3
+    v_star = (state.v + dt * Gv_s) * model.mask_v3
+    ubar = jnp.sum(u_star * model.dzu, axis=0) * model.inv_h_u
+    vbar = jnp.sum(v_star * model.dzv, axis=0) * model.inv_h_v
+    Ubar = crop_ext(g, ge, U_a) * model.inv_h_u
+    Vbar = crop_ext(g, ge, V_a) * model.inv_h_v
+    u_new = (u_star + (Ubar - ubar)[None]) * model.mask_u3
+    v_new = (v_star + (Vbar - vbar)[None]) * model.mask_v3
+
+    c_new = (state.c + dt * Gc_s) * model.mask_c3
+    b_new = (state.b + dt * Gb_s) * model.mask_c3 if model.buoyancy else state.b
+
+    return LayeredState(
+        u=u_new, v=v_new, eta=eta_a, U=U_a, V=V_a, c=c_new, b=b_new,
+        Gu=Gu, Gv=Gv, Gc=Gc, Gb=Gb if model.buoyancy else state.Gb,
+        t=state.t + dt, iteration=state.iteration + 1,
+    )
+
+
+def layered_multi_step(model: LayeredModel, state: LayeredState, dt, n_steps: int,
+                       spmd=None) -> LayeredState:
+    """n_steps layered steps in one traced computation (lax.scan)."""
+
+    def body(s, _):
+        return layered_step(model, s, dt, spmd=spmd), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
+def layered_cfl_dt(model: LayeredModel, state: LayeredState, cfl=0.3):
+    """Advective-CFL time step over all layers (the TimeStepWizard's device half)."""
+    g = model.grid
+    m = model.baro
+    speed = jnp.abs(state.u) * m.inv_dx_fc + jnp.abs(state.v) * m.inv_dy_cf
+    smax = jnp.max(speed[(slice(None),) + g.interior2d])
+    return jnp.where(smax > 0, cfl / smax, jnp.inf)

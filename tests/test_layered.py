@@ -1,0 +1,229 @@
+"""Layered (Nz > 1) hydrostatic model tests.
+
+The reference's workloads are all Nz = 1, so there is no Julia oracle here; the pins
+are internal-consistency and physics invariants instead:
+
+- Nz = 1 layered trajectory == the single-layer model's trajectory (the layered code
+  must *reduce* to the optimized barotropic configuration);
+- z-uniform initial conditions on Nz = 3 evolve each layer identically to the
+  single-layer run (vertical terms vanish; the split-explicit corrector must not
+  introduce spurious shear);
+- total tracer content Σ c·Az·dz is conserved to round-off (zero-flux surface/floor +
+  telescoping interior fluxes, incl. across the zipper fold);
+- a horizontally-uniform stable stratification stays exactly at rest (the baroclinic
+  pressure-gradient discretization has no spurious forcing);
+- a lock-exchange buoyancy front develops the correct baroclinic shear (dense water
+  intrudes at depth toward the light side).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import orthogonalsphericalshellgrids_tpu as osg
+from orthogonalsphericalshellgrids_tpu.models import (
+    SplitExplicitFreeSurface,
+    initial_state,
+    layered_initial_state,
+    layered_multi_step,
+    layered_step,
+    make_layered_model,
+    make_model,
+    step,
+    vertical_velocity,
+)
+
+LAM_P, PHI_P = 45.0, 25.0
+
+
+def bottom(lam, phi):
+    land = (
+        ((np.abs(lam - LAM_P) < 10) & (np.abs(PHI_P - phi) < 10))
+        | ((np.abs(lam - (LAM_P + 180.0)) < 10) & (np.abs(PHI_P - phi) < 10))
+        | (phi < -78)
+    )
+    return np.where(land, 1.0, -1000.0)
+
+
+def make_grid(nz):
+    return osg.TripolarGrid.make((48, 32, nz), dtype=jnp.float64, z=(-1000.0, 0.0),
+                                 first_pole_longitude=LAM_P,
+                                 north_poles_latitude=PHI_P)
+
+
+def ui(lam, phi):
+    return 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2
+
+
+def vi(lam, phi):
+    return 0.05 * np.sin(np.deg2rad(lam) * 3)
+
+
+def ci(lam, phi):
+    return np.sin(2 * np.pi * np.deg2rad(phi) * 8 / 167.0)
+
+
+def layered_bickley(nz, substeps=8, **kw):
+    model = make_layered_model(
+        make_grid(nz), free_surface=SplitExplicitFreeSurface(substeps=substeps),
+        bottom_height=bottom, **kw)
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: ui(lam, phi),
+        v=lambda lam, phi, z: vi(lam, phi),
+        c=lambda lam, phi, z: ci(lam, phi),
+    )
+    return model, state
+
+
+def single_layer_bickley(substeps=8):
+    model = make_model(
+        make_grid(1), free_surface=SplitExplicitFreeSurface(substeps=substeps),
+        bottom_height=bottom)
+    state = initial_state(model, u=ui, v=vi, c=ci)
+    return model, state
+
+
+def run_layered(model, state, n, dt=60.0):
+    return jax.jit(layered_multi_step, static_argnums=(3,))(model, state, dt, n)
+
+
+def test_nz1_reduces_to_single_layer():
+    lmodel, lstate = layered_bickley(nz=1)
+    smodel, sstate = single_layer_bickley()
+
+    ls = run_layered(lmodel, lstate, 5)
+    ss = jax.jit(lambda m, s: s, static_argnums=())(smodel, sstate)
+    for _ in range(5):
+        ss = jax.jit(step)(smodel, ss, 60.0)
+
+    g = lmodel.grid
+    np.testing.assert_allclose(np.asarray(ls.u[0][g.interior2d]),
+                               np.asarray(ss.u[g.interior2d]), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ls.v[0][g.interior2d]),
+                               np.asarray(ss.v[g.interior2d]), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ls.c[0][g.interior2d]),
+                               np.asarray(ss.c[g.interior2d]), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ls.eta), np.asarray(ss.eta),
+                               rtol=0, atol=1e-11)
+
+
+def test_z_uniform_columns_stay_uniform():
+    """z-uniform ICs on Nz=3: momentum/η match the single-layer run to round-off
+    (vertical terms vanish and the corrector adds no shear). The tracer convention of
+    static z-levels: the free-surface volume divergence lands entirely in the SURFACE
+    layer (zero-flux surface + continuity puts all of w's column integral there), so
+    subsurface layers stay mutually uniform and the COLUMN MEAN tracks the
+    single-layer (depth-integrated) run to round-off."""
+    lmodel, lstate = layered_bickley(nz=3)
+    smodel, sstate = single_layer_bickley()
+
+    n = 10
+    ls = run_layered(lmodel, lstate, n)
+    ss = sstate
+    sj = jax.jit(step)
+    for _ in range(n):
+        ss = sj(smodel, ss, 60.0)
+
+    g = lmodel.grid
+    su = np.asarray(ss.u[g.interior2d])
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(ls.u[k][g.interior2d]), su,
+                                   rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ls.eta), np.asarray(ss.eta), rtol=0, atol=1e-9)
+    # subsurface layers stay mutually uniform (only the surface layer absorbs the
+    # O(∂η/∂t) concentration change of the fixed-volume top cell)
+    np.testing.assert_allclose(np.asarray(ls.c[1]), np.asarray(ls.c[2]), rtol=0, atol=1e-7)
+    # the column-mean tracer IS the single-layer tracer
+    cmean = np.asarray(jnp.mean(ls.c, axis=0)[g.interior2d])
+    np.testing.assert_allclose(cmean, np.asarray(ss.c[g.interior2d]), rtol=0, atol=1e-10)
+
+
+def test_layered_tracer_conservation():
+    """Exact conservation of the seam-aware content functional — even though the
+    initial v = 0.05·sin(3λ) drives flow THROUGH the fold seam continuously (the
+    straight full-interior sum drifts at ~1e-9/step in this setup; the half-weighted
+    seam row makes the fold fluxes telescope exactly)."""
+    from orthogonalsphericalshellgrids_tpu.models.diagnostics import layered_tracer_content
+
+    model, state = layered_bickley(nz=4)
+    c0 = float(layered_tracer_content(model, state))
+    out = run_layered(model, state, 20)
+    c1 = float(layered_tracer_content(model, out))
+    assert np.isfinite(np.asarray(out.c)).all()
+    assert abs(c1 - c0) <= 1e-12 * abs(c0)
+
+
+def test_stratification_at_rest_stays_at_rest():
+    """Horizontally-uniform stable stratification, no flow: every prognostic must stay
+    exactly zero (no spurious baroclinic pressure gradient, no spurious w)."""
+    model = make_layered_model(
+        make_grid(4), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, buoyancy=True)
+    N2 = 1e-5
+    state = layered_initial_state(model, b=lambda lam, phi, z: N2 * z)
+
+    out = run_layered(model, state, 10)
+    assert float(jnp.max(jnp.abs(out.u))) == 0.0
+    assert float(jnp.max(jnp.abs(out.v))) == 0.0
+    assert float(jnp.max(jnp.abs(out.eta))) == 0.0
+    # buoyancy field unchanged (advection of b by zero flow)
+    np.testing.assert_allclose(np.asarray(out.b), np.asarray(state.b), rtol=0, atol=1e-12)
+
+
+def test_lock_exchange_baroclinic_shear():
+    """A buoyancy front in longitude drives the classic two-cell adjustment: at depth,
+    flow runs from the dense side toward the light side (down the deep pressure
+    gradient); the near-surface return flow is opposite — i.e. the vertical shear
+    du/dz at the front has a definite sign."""
+    model = make_layered_model(
+        make_grid(6), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, buoyancy=True, nu_v=1e-4)
+
+    # light water (b > 0) where sin(λ) > 0, dense where < 0 — smooth front
+    db = 1e-3
+    state = layered_initial_state(
+        model, b=lambda lam, phi, z: db * np.sin(np.deg2rad(lam)))
+
+    out = run_layered(model, state, 20, dt=30.0)
+    g = model.grid
+    assert np.isfinite(np.asarray(out.u)).all()
+
+    # sample a mid-latitude band away from poles/land: equatorial strip
+    phi_u = np.asarray(g.phi_fc, np.float64)
+    lam_u = np.asarray(g.lam_fc, np.float64)
+    mask = np.asarray(model.mask_u3, np.float64)
+    band = ((np.abs(phi_u) < 30.0)
+            & (np.abs(np.cos(np.deg2rad(lam_u))) > 0.5))[None] * mask
+    band[:, : g.Hy] = 0; band[:, g.Hy + g.Ny:] = 0
+    band[:, :, : g.Hx] = 0; band[:, :, g.Hx + g.Nx:] = 0
+
+    # at the front, -dxf(p) at depth points toward the light side: u_deep has the sign
+    # of d(b)/dx ~ cos(λ); the surface layer carries the return flow (opposite sign).
+    cosl = np.cos(np.deg2rad(lam_u))[None]
+    u = np.asarray(out.u, np.float64)
+    deep = (u[-1] * cosl * band[-1]).sum() / max(band[-1].sum(), 1)
+    surf = (u[0] * cosl * band[0]).sum() / max(band[0].sum(), 1)
+    assert deep > 0, f"deep flow should run dense->light, got mean {deep:.3e}"
+    assert surf < deep, f"surface return flow should lag deep flow ({surf:.3e} vs {deep:.3e})"
+
+
+def test_vertical_velocity_continuity():
+    """w from continuity: each layer's interface divergence matches the horizontal
+    flux divergence identically, and w vanishes on the sea floor."""
+    model, state = layered_bickley(nz=4)
+    g = model.grid
+    from orthogonalsphericalshellgrids_tpu.ops import zipper
+    from orthogonalsphericalshellgrids_tpu.ops.location import CF, FC
+    from orthogonalsphericalshellgrids_tpu.ops.operators import dxc, dyc
+    from orthogonalsphericalshellgrids_tpu.models.hydrostatic import _inv
+
+    u = zipper.fill_halos(state.u, FC, -1, g.Nx, g.Ny, g.Hx, g.Hy, xp=jnp)
+    v = zipper.fill_halos(state.v, CF, -1, g.Nx, g.Ny, g.Hx, g.Hy, xp=jnp)
+    w = vertical_velocity(model, u, v)
+    assert w.shape == (model.nz + 1,) + g.shape2d
+    np.testing.assert_allclose(np.asarray(w[-1]), 0.0, atol=0)
+    hdiv = (dxc(g.dy_fc * model.dzu * u) + dyc(g.dx_cf * model.dzv * v)) * _inv(g.az_cc)
+    np.testing.assert_allclose(np.asarray(w[:-1] - w[1:]), np.asarray(-hdiv), atol=1e-15)
