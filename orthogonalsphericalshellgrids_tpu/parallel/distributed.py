@@ -38,7 +38,9 @@ from ..models import hydrostatic as hydro
 from ..models.hydrostatic import HydrostaticModel, State
 from ..ops.spmd import Spmd, fill_halos_spmd
 
-__all__ = ["Spmd", "fill_halos_spmd", "make_mesh", "distribute", "gather_state", "sharded_step_fn"]
+__all__ = ["Spmd", "fill_halos_spmd", "make_mesh", "distribute", "gather_state",
+           "sharded_step_fn", "distribute_layered", "gather_layered_state",
+           "sharded_layered_step_fn"]
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -201,6 +203,116 @@ def sharded_step_fn(mesh: Mesh, dist_model: HydrostaticModel):
             # Pallas kernel's ShapeDtypeStruct out_shape (ops/pallas_baro.py) and
             # rejects the trace; correctness is pinned by the sharded-vs-serial
             # bitwise tests instead.
+            check_vma=False,
+        )
+        return fn(dist_model, dist_state, dt)
+
+    return jax.jit(run)
+
+
+# --------------------------------------------------------------------------------------
+# Layered (Nz > 1) model distribution — same y-decomposition, 3-D (Nz, y, x) leaves
+# --------------------------------------------------------------------------------------
+
+def distribute_layered(model, state, mesh: Mesh):
+    """Partition a layered model+state onto the mesh (the single-layer ``distribute``
+    extended to (Nz, y, x) leaves: the layer axis is replicated, rows are sharded).
+
+    Every 3-D leaf — per-layer state fields, per-layer masks, and the barotropic
+    engine's stacked Pallas operand packs alike — is partitioned along its row axis
+    into halo-inclusive per-shard blocks; grid metadata is rewritten to local sizes so
+    the unchanged serial layered_step runs inside shard_map."""
+    from ..models.layered import LayeredModel, LayeredState  # local import: no cycle
+
+    n = mesh.devices.size
+    g, ge = model.grid, model.baro.grid_ext
+    if g.Ny % n != 0:
+        raise ValueError(f"Ny={g.Ny} must be divisible by the number of shards {n}")
+    ny = g.Ny // n
+    if ny < ge.Hy:
+        raise ValueError(f"local rows ny={ny} must cover the extended halo Hy={ge.Hy}")
+
+    def repart(leaf):
+        a = np.asarray(leaf)
+        if a.ndim == 3:
+            for rows, Hy_k in ((g.Ny + 2 * ge.Hy, ge.Hy), (g.Ny + 2 * g.Hy, g.Hy)):
+                if a.shape[1] >= rows:
+                    return np.stack(
+                        [_partition_rows(a[k][:rows], n, ny, Hy_k) for k in range(a.shape[0])])
+            raise ValueError(f"unexpected 3-D leaf shape {a.shape}")
+        if a.ndim != 2:
+            return a
+        if a.shape[0] == g.Ny + 2 * g.Hy:
+            return _partition_rows(a, n, ny, g.Hy)
+        if a.shape[0] == g.Ny + 2 * ge.Hy:
+            return _partition_rows(a, n, ny, ge.Hy)
+        raise ValueError(f"unexpected 2-D leaf rows {a.shape}")
+
+    dist_model = jax.tree_util.tree_map(repart, model)
+    dist_state = jax.tree_util.tree_map(repart, state)
+
+    local_baro = dataclasses.replace(
+        dist_model.baro,
+        grid=dataclasses.replace(dist_model.baro.grid, Ny=ny),
+        grid_ext=dataclasses.replace(dist_model.baro.grid_ext, Ny=ny),
+    )
+    dist_model = dataclasses.replace(dist_model, baro=local_baro)
+
+    put = lambda tree: jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, _spec_for(leaf, mesh)), tree)
+    return put(dist_model), put(dist_state)
+
+
+def gather_layered_state(dist_state, model_serial, n: int):
+    """Reassemble a serial-layout LayeredState from a distributed one (interior rows
+    per shard; halos re-filled by the serial step on next use)."""
+    from ..models.layered import LayeredState
+
+    g, ge = model_serial.grid, model_serial.baro.grid_ext
+    ny = g.Ny // n
+
+    def unpart2(a, Hy, Ny_glob):
+        block = ny + 2 * Hy
+        interiors = [a[k * block + Hy : k * block + Hy + ny] for k in range(n)]
+        out = np.zeros((Ny_glob + 2 * Hy, a.shape[-1]), a.dtype)
+        out[Hy : Hy + Ny_glob] = np.concatenate(interiors, axis=0)
+        return out
+
+    def conv(leaf, ext=False):
+        a = np.asarray(leaf)
+        Hy = ge.Hy if ext else g.Hy
+        if a.ndim == 3:
+            return jnp.asarray(np.stack([unpart2(a[k], Hy, g.Ny) for k in range(a.shape[0])]))
+        if a.ndim == 2:
+            return jnp.asarray(unpart2(a, Hy, g.Ny))
+        return jnp.asarray(a)
+
+    return LayeredState(
+        u=conv(dist_state.u), v=conv(dist_state.v),
+        eta=conv(dist_state.eta, ext=True), U=conv(dist_state.U, ext=True),
+        V=conv(dist_state.V, ext=True),
+        c=conv(dist_state.c), b=conv(dist_state.b),
+        Gu=conv(dist_state.Gu), Gv=conv(dist_state.Gv), Gc=conv(dist_state.Gc),
+        Gb=conv(dist_state.Gb),
+        t=dist_state.t, iteration=dist_state.iteration,
+    )
+
+
+def sharded_layered_step_fn(mesh: Mesh, dist_model):
+    """Jitted shard_map-wrapped layered step over the mesh: (state, dt) -> state."""
+    from ..models import layered as lay
+
+    n = mesh.devices.size
+    spmd = Spmd(axis_name="y", n_shards=n)
+    model_specs = jax.tree_util.tree_map(_pspec_for, dist_model)
+
+    def run(dist_state, dt):
+        state_specs = jax.tree_util.tree_map(_pspec_for, dist_state)
+        fn = jax.shard_map(
+            partial(lay.layered_step, spmd=spmd),
+            mesh=mesh,
+            in_specs=(model_specs, state_specs, P()),
+            out_specs=state_specs,
             check_vma=False,
         )
         return fn(dist_model, dist_state, dt)

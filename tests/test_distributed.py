@@ -127,3 +127,57 @@ def test_halo_exchange_roundtrip():
             np.testing.assert_array_equal(
                 blk[Hy + ny :, Hx], [Nglob - 2, Nglob - 3]
             )
+
+
+def test_sharded_layered_matches_serial():
+    """The y-sharded LAYERED step (3-D (Nz, y, x) leaves, replicated layer axis) must
+    reproduce the serial layered step on every interior point, buoyancy included."""
+    from orthogonalsphericalshellgrids_tpu.models import (
+        layered_initial_state, layered_step, make_layered_model,
+    )
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute_layered, gather_layered_state, sharded_layered_step_fn,
+    )
+
+    grid = osg.TripolarGrid.make((32, 48, 3), dtype=jnp.float64, z=(-1000.0, 0.0),
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, -1000.0)
+
+    model = make_layered_model(grid, free_surface=SplitExplicitFreeSurface(substeps=6),
+                               bottom_height=bottom, buoyancy=True)
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi, z: 0.05 * np.sin(np.deg2rad(lam) * 3),
+        c=lambda lam, phi, z: np.sin(2 * np.pi * np.deg2rad(phi) * 8 / 167.0),
+        b=lambda lam, phi, z: 1e-5 * z + 1e-4 * np.sin(np.deg2rad(lam)),
+    )
+
+    n = 4
+    mesh = make_mesh(n)
+    dist_model, dist_state = distribute_layered(model, state, mesh)
+    fn = sharded_layered_step_fn(mesh, dist_model)
+
+    ss, ds = state, dist_state
+    sj = jax.jit(layered_step)
+    for _ in range(3):
+        ss = sj(model, ss, 60.0)
+        ds = fn(ds, 60.0)
+
+    got = gather_layered_state(ds, model, n)
+    g = model.grid
+    I3 = (slice(None),) + g.interior2d
+    for name in ("u", "v", "c", "b"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)[I3]), np.asarray(getattr(ss, name)[I3]),
+            rtol=0, atol=1e-13, err_msg=name)
+    ge = model.baro.grid_ext
+    np.testing.assert_allclose(np.asarray(ge.interior(got.eta)),
+                               np.asarray(ge.interior(ss.eta)), rtol=0, atol=1e-13)
