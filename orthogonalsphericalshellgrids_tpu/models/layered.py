@@ -110,6 +110,10 @@ class LayeredModel:
         return self.baro.grid
 
     @property
+    def grid_ext(self):
+        return self.baro.grid_ext
+
+    @property
     def dtype(self):
         return self.baro.dtype
 

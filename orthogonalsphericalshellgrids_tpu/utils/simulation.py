@@ -68,8 +68,11 @@ class TimeStepWizard:
     min_change: float = 0.5
     max_dt: float = float("inf")
 
-    def update(self, model: HydrostaticModel, state: State, old_dt: float) -> float:
-        cfl_dt = float(compute_cfl_dt(model, state, cfl=self.cfl))
+    def update(self, model, state, old_dt: float) -> float:
+        from ..models.layered import LayeredModel, layered_cfl_dt
+
+        cfl_fn = layered_cfl_dt if isinstance(model, LayeredModel) else compute_cfl_dt
+        cfl_dt = float(cfl_fn(model, state, cfl=self.cfl))
         new_dt = min(self.max_change * old_dt, cfl_dt)
         new_dt = max(new_dt, self.min_change * old_dt)
         return min(new_dt, self.max_dt)
@@ -99,23 +102,28 @@ class Simulation:
     Output writers attach the same way.
     """
 
-    def __init__(self, model: HydrostaticModel, state: State, dt: float,
+    def __init__(self, model, state, dt: float,
                  stop_time: float = float("inf"), stop_iteration: int = 2**62,
                  steps_per_block: int = 1):
+        from ..models.layered import LayeredModel, layered_multi_step, layered_step
+
         self.model = model
         self.state = state
         self.dt = float(dt)
         self.stop_time = float(stop_time)
         self.stop_iteration = int(stop_iteration)
         self.callbacks: list[tuple[Any, Callable]] = []
-        self._step = jax.jit(step)
+        is_layered = isinstance(model, LayeredModel)
+        self._step = jax.jit(layered_step if is_layered else step)
         # multi-step blocks amortize per-dispatch overhead; schedules still fire at
         # block boundaries, so pick steps_per_block <= the smallest callback interval
         self.steps_per_block = int(steps_per_block)
         if self.steps_per_block > 1:
             import functools
 
-            self._multi = jax.jit(functools.partial(multi_step, n_steps=self.steps_per_block))
+            self._multi = jax.jit(functools.partial(
+                layered_multi_step if is_layered else multi_step,
+                n_steps=self.steps_per_block))
         self.wall_start = None
 
     @property

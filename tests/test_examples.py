@@ -40,3 +40,21 @@ def test_visualize_example(tmp_path):
     out = str(tmp_path / "nodes.png")
     main(out)
     assert os.path.getsize(out) > 10_000
+
+
+def test_baroclinic_front_example(tmp_path):
+    """Layered example: a short run must complete with finite output and develop the
+    thermal-wind frontal jet (nonzero surface flow along the front)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "baroclinic_front.py"),
+         "--platform", "cpu", "--nx", "48", "--ny", "32", "--nz", "4",
+         "--days", "0.05", "--dt", "120",
+         "--out", str(tmp_path / "front.npz")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    from orthogonalsphericalshellgrids_tpu.utils import FieldTimeSeries
+    us = FieldTimeSeries(str(tmp_path / "front.npz"), "u_surface")
+    last = np.asarray(us[len(us) - 1])
+    assert np.isfinite(last).all()
+    assert np.abs(last).max() > 0.0
