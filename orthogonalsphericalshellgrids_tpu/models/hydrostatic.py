@@ -105,6 +105,9 @@ class HydrostaticModel:
     tend_pack: Any
     # coriolis frequency at FF points (0 array when disabled)
     f_ff: Any
+    # kinematic surface wind stress at u/v points (0 arrays when disabled)
+    taux: Any
+    tauy: Any
     # static metadata
     substeps: int
     fractional_dt: float
@@ -113,6 +116,11 @@ class HydrostaticModel:
     use_pallas: bool
     tracer_advection: str
     momentum_advection: str
+    wind: bool
+    drag_type: str      # "none" | "linear" | "quadratic"
+    drag_coeff: float
+    nu_h: float         # horizontal viscosity (m^2/s; 0 disables)
+    kappa_h: float      # horizontal tracer diffusivity (m^2/s; 0 disables)
 
     # convenience
     @property
@@ -125,9 +133,11 @@ _MODEL_ARRAYS = [
     "inv_dx_fc", "inv_dy_cf", "inv_az_ff", "inv_vol_c",
     "inv_dx_fc_e", "inv_dy_cf_e", "inv_az_cc_e", "dy_fc_e", "dx_cf_e",
     "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "tend_pack", "f_ff",
+    "taux", "tauy",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
-               "tracer_advection", "momentum_advection"]
+               "tracer_advection", "momentum_advection",
+               "wind", "drag_type", "drag_coeff", "nu_h", "kappa_h"]
 
 for _cls, _data, _meta in [
     (State, [f.name for f in dataclasses.fields(State)], []),
@@ -192,6 +202,10 @@ def make_model(
     use_pallas: bool | None = None,
     tracer_advection: str = "weno5",
     momentum_advection: str = "weno_vector_invariant",
+    wind_stress=None,       # callable (λ°, φ°) -> (τx, τy) kinematic stress [m²/s²]
+    bottom_drag=None,       # ("linear", r [m/s]) or ("quadratic", Cd [-])
+    nu_h: float = 0.0,      # horizontal viscosity [m²/s]
+    kappa_h: float = 0.0,   # horizontal tracer diffusivity [m²/s]
     decomposition: str = "1d",  # accepted for API clarity; both layouts now share the
                                 # widened-x ext grid, so it no longer changes the model
 ) -> HydrostaticModel:
@@ -296,6 +310,27 @@ def make_model(
         backend = jax.default_backend()
         use_pallas = backend not in ("cpu", "gpu")
 
+    # kinematic wind stress sampled at the staggered velocity points (masked: no
+    # stress on land)
+    zero2 = jnp.zeros(grid.shape2d, dt)
+    taux = tauy = zero2
+    wind = wind_stress is not None
+    if wind:
+        lam_u = np.asarray(grid.lam_fc, np.float64)
+        phi_u = np.asarray(grid.phi_fc, np.float64)
+        lam_v = np.asarray(grid.lam_cf, np.float64)
+        phi_v = np.asarray(grid.phi_cf, np.float64)
+        tx_u, _ = wind_stress(lam_u, phi_u)
+        _, ty_v = wind_stress(lam_v, phi_v)
+        taux = jnp.asarray(np.broadcast_to(tx_u, grid.shape2d), dt) * ib.mask_u
+        tauy = jnp.asarray(np.broadcast_to(ty_v, grid.shape2d), dt) * ib.mask_v
+
+    drag_type, drag_coeff = "none", 0.0
+    if bottom_drag is not None:
+        drag_type, drag_coeff = bottom_drag
+        if drag_type not in ("linear", "quadratic"):
+            raise ValueError(f"bottom_drag type must be linear|quadratic, got {drag_type!r}")
+
     return HydrostaticModel(
         grid=grid,
         grid_ext=grid_ext,
@@ -324,6 +359,13 @@ def make_model(
         use_pallas=bool(use_pallas),
         tracer_advection=tracer_advection,
         momentum_advection=momentum_advection,
+        taux=taux,
+        tauy=tauy,
+        wind=wind,
+        drag_type=drag_type,
+        drag_coeff=float(drag_coeff),
+        nu_h=float(nu_h),
+        kappa_h=float(kappa_h),
     )
 
 
@@ -426,6 +468,33 @@ def tendencies(model: HydrostaticModel, u, v, c):
     fy = v * ib.h_v * g.dx_cf * cy
     Gc = -(dxc(fx) + dyc(fy)) * model.inv_vol_c
 
+    # --- optional forcing / closures (compiled out when disabled — static flags).
+    # In the depth-integrated configuration, surface stress and bottom drag act on the
+    # whole column: force/h (so the barotropic forcing h·G recovers the raw stress).
+    if model.wind or model.drag_type != "none":
+        inv_h_u = _inv(ib.h_u)
+        inv_h_v = _inv(ib.h_v)
+        if model.wind:
+            Gu = Gu + model.taux * inv_h_u
+            Gv = Gv + model.tauy * inv_h_v
+        if model.drag_type == "linear":
+            Gu = Gu - model.drag_coeff * u * inv_h_u * ib.mask_u
+            Gv = Gv - model.drag_coeff * v * inv_h_v * ib.mask_v
+        elif model.drag_type == "quadratic":
+            sp_u = jnp.sqrt(u * u + ixf(iyc(v)) ** 2)
+            sp_v = jnp.sqrt(v * v + iyf(ixc(u)) ** 2)
+            Gu = Gu - model.drag_coeff * sp_u * u * inv_h_u * ib.mask_u
+            Gv = Gv - model.drag_coeff * sp_v * v * inv_h_v * ib.mask_v
+    if model.nu_h > 0.0:
+        from ..ops.closures import laplacian_u, laplacian_v
+
+        Gu = Gu + model.nu_h * laplacian_u(g, u, ib.mask_u, ib.mask_c)
+        Gv = Gv + model.nu_h * laplacian_v(g, v, ib.mask_v, ib.mask_c)
+    if model.kappa_h > 0.0:
+        from ..ops.closures import laplacian_c
+
+        Gc = Gc + model.kappa_h * laplacian_c(g, c, ib.mask_c, ib.mask_u, ib.mask_v)
+
     return Gu, Gv, Gc
 
 
@@ -523,6 +592,9 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
         # The fused tendency kernel currently loses to the XLA path on v5e (VMEM
         # pressure at the required window size forces spills); keep it opt-in.
         tend_pallas = False
+    if (model.wind or model.drag_type != "none" or model.nu_h > 0.0
+            or model.kappa_h > 0.0):
+        tend_pallas = False  # forcing/closure terms live in the XLA tendency path
     if tend_pallas and model.use_pallas:
         from ..ops.pallas_tend import tendencies_pallas
 

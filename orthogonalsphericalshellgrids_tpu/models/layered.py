@@ -98,6 +98,9 @@ class LayeredModel:
     # 1-(over) column depth at u/v faces (2-D, zero on land)
     inv_h_u: Any
     inv_h_v: Any
+    # deepest-wet-layer indicator masks (bottom drag acts there)
+    bot_u: Any
+    bot_v: Any
     # static metadata
     nz: int
     dz: float
@@ -121,7 +124,8 @@ class LayeredModel:
 for _cls, _data, _meta in [
     (LayeredState, [f.name for f in dataclasses.fields(LayeredState)], []),
     (LayeredModel,
-     ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v"],
+     ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
+      "bot_u", "bot_v"],
      ["nz", "dz", "buoyancy", "kappa_v", "nu_v"]),
 ]:
     jax.tree_util.register_dataclass(_cls, data_fields=_data, meta_fields=_meta)
@@ -140,6 +144,10 @@ def make_layered_model(
     rotation_rate: float = 7.292115e-5,
     kappa_v: float = 0.0,
     nu_v: float = 0.0,
+    wind_stress=None,       # callable (λ°, φ°) -> (τx, τy) kinematic [m²/s²]; acts on layer 0
+    bottom_drag=None,       # ("linear", r) or ("quadratic", Cd); acts on the deepest wet layer
+    nu_h: float = 0.0,
+    kappa_h: float = 0.0,
     use_pallas: bool | None = None,
     tracer_advection: str = "weno5",
     momentum_advection: str = "weno_vector_invariant",
@@ -155,7 +163,9 @@ def make_layered_model(
     baro = make_model(grid, free_surface=free_surface, bottom_height=bottom_height,
                       coriolis=coriolis, rotation_rate=rotation_rate,
                       use_pallas=use_pallas, tracer_advection=tracer_advection,
-                      momentum_advection=momentum_advection)
+                      momentum_advection=momentum_advection,
+                      wind_stress=wind_stress, bottom_drag=bottom_drag,
+                      nu_h=nu_h, kappa_h=kappa_h)
     nz = grid.Nz
     z0, z1 = grid.z_bounds
     dz = (z1 - z0) / nz
@@ -178,11 +188,19 @@ def make_layered_model(
     mask_u3 = jnp.asarray(mask_u3, dt)
     mask_v3 = jnp.asarray(mask_v3, dt)
 
+    # deepest-wet-layer indicators: 1 in layer k iff wet there and dry (or sea floor)
+    # below — where the bottom drag acts
+    def bottom_indicator(m3):
+        below = jnp.concatenate([m3[1:], jnp.zeros_like(m3[:1])], axis=0)
+        return m3 * (1.0 - below)
+
     return LayeredModel(
         baro=baro,
         mask_c3=mask_c3,
         mask_u3=mask_u3,
         mask_v3=mask_v3,
+        bot_u=bottom_indicator(mask_u3),
+        bot_v=bottom_indicator(mask_v3),
         dzu=dz * mask_u3,
         dzv=dz * mask_v3,
         inv_h_u=_inv(baro.ib.h_u),
@@ -345,6 +363,25 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
         Gu = Gu + model.nu_v * _vertical_laplacian(u, model.dz, model.mask_u3)
         Gv = Gv + model.nu_v * _vertical_laplacian(v, model.dz, model.mask_v3)
 
+    # --- optional forcing / closures (compiled out when disabled)
+    if m.wind:
+        # surface stress accelerates the top layer
+        Gu = Gu.at[0].add(m.taux / model.dz)
+        Gv = Gv.at[0].add(m.tauy / model.dz)
+    if m.drag_type == "linear":
+        Gu = Gu - (m.drag_coeff / model.dz) * u * model.bot_u
+        Gv = Gv - (m.drag_coeff / model.dz) * v * model.bot_v
+    elif m.drag_type == "quadratic":
+        sp_u = jnp.sqrt(u * u + ixf(iyc(v)) ** 2)
+        sp_v = jnp.sqrt(v * v + iyf(ixc(u)) ** 2)
+        Gu = Gu - (m.drag_coeff / model.dz) * sp_u * u * model.bot_u
+        Gv = Gv - (m.drag_coeff / model.dz) * sp_v * v * model.bot_v
+    if m.nu_h > 0.0:
+        from ..ops.closures import laplacian_u, laplacian_v
+
+        Gu = Gu + m.nu_h * laplacian_u(g, u, model.mask_u3, model.mask_c3)
+        Gv = Gv + m.nu_h * laplacian_v(g, v, model.mask_v3, model.mask_c3)
+
     Gu = Gu * model.mask_u3
     Gv = Gv * model.mask_v3
 
@@ -365,6 +402,11 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
         if model.kappa_v > 0.0:
             G = G + model.kappa_v * _vertical_laplacian(cq, model.dz, model.mask_c3) \
                 * model.mask_c3
+        if m.kappa_h > 0.0:
+            from ..ops.closures import laplacian_c
+
+            G = G + m.kappa_h * laplacian_c(g, cq, model.mask_c3, model.mask_u3,
+                                            model.mask_v3)
         return G
 
     Gc = tracer_tendency(c)

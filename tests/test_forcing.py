@@ -1,0 +1,196 @@
+"""Forcing and closure tests: surface wind stress, bottom drag, horizontal Laplacian
+viscosity/diffusivity — the standard ScalarDiffusivity/forcing equipment of the model
+engine the reference exercises (no reference workload pins these; the pins here are
+quantitative physics).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import orthogonalsphericalshellgrids_tpu as osg
+from orthogonalsphericalshellgrids_tpu.models import (
+    SplitExplicitFreeSurface,
+    initial_state,
+    layered_initial_state,
+    layered_multi_step,
+    make_layered_model,
+    make_model,
+    step,
+)
+
+LAM_P, PHI_P = 45.0, 25.0
+DEPTH = 1000.0
+
+
+def bottom(lam, phi):
+    land = (
+        ((np.abs(lam - LAM_P) < 10) & (np.abs(PHI_P - phi) < 10))
+        | ((np.abs(lam - (LAM_P + 180.0)) < 10) & (np.abs(PHI_P - phi) < 10))
+        | (phi < -78)
+    )
+    return np.where(land, 1.0, -DEPTH)
+
+
+def make_grid(nz=1):
+    return osg.TripolarGrid.make((48, 32, nz), dtype=jnp.float64, z=(-DEPTH, 0.0),
+                                 first_pole_longitude=LAM_P, north_poles_latitude=PHI_P)
+
+
+def run(model, state, n, dt=60.0):
+    sj = jax.jit(step)
+    for _ in range(n):
+        state = sj(model, state, dt)
+    return state
+
+
+def interior_mean_u(model, state):
+    g = model.grid
+    mask = np.asarray(model.ib.mask_u if hasattr(model, "ib") else model.mask_u3)
+    u = np.asarray(state.u)
+    if u.ndim == 3:
+        mask = np.asarray(model.mask_u3)
+    w = mask * 0 + mask
+    return float((u * w).sum() / max(w.sum(), 1))
+
+
+def test_wind_stress_spinup():
+    """Constant zonal kinematic stress from rest: after time t the depth-averaged
+    zonal flow is u ≈ τ·t/H (momentum input balance, before pressure gradients
+    matter)."""
+    tau = 1e-4  # m²/s² kinematic (≈ 0.1 N/m² over ρ0 = 1000)
+    model = make_model(make_grid(), free_surface=SplitExplicitFreeSurface(substeps=8),
+                       bottom_height=bottom,
+                       wind_stress=lambda lam, phi: (np.full_like(lam, tau),
+                                                     np.zeros_like(lam)))
+    state = initial_state(model)
+    n, dt = 20, 60.0
+    out = run(model, state, n, dt)
+    g = model.grid
+    mask = np.asarray(g.interior(model.ib.mask_u))
+    u = np.asarray(g.interior(out.u))
+    expected = tau * n * dt / DEPTH
+    got = (u * mask).sum() / mask.sum()
+    np.testing.assert_allclose(got, expected, rtol=0.05)
+
+
+def test_linear_bottom_drag_decays_flow():
+    """With linear drag r the momentum input is removed at rate r·u/H: comparing runs
+    with and without drag from the same initial jet, the dragged run must be slower —
+    by ≈ exp(-r t / H) for the short, nearly-linear window tested."""
+    def ui(lam, phi):
+        return 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2
+
+    r = 0.05  # strong linear drag [m/s]
+    kw = dict(free_surface=SplitExplicitFreeSurface(substeps=8), bottom_height=bottom)
+    m0 = make_model(make_grid(), **kw)
+    m1 = make_model(make_grid(), bottom_drag=("linear", r), **kw)
+    s0 = run(m0, initial_state(m0, u=ui), 10)
+    s1 = run(m1, initial_state(m1, u=ui), 10)
+    g = m0.grid
+    a0 = float(np.abs(np.asarray(g.interior(s0.u))).max())
+    a1 = float(np.abs(np.asarray(g.interior(s1.u))).max())
+    expected_ratio = np.exp(-r * 10 * 60.0 / DEPTH)
+    np.testing.assert_allclose(a1 / a0, expected_ratio, rtol=0.02)
+
+
+def test_quadratic_drag_decays_flow():
+    def ui(lam, phi):
+        return 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2
+
+    kw = dict(free_surface=SplitExplicitFreeSurface(substeps=8), bottom_height=bottom)
+    m0 = make_model(make_grid(), **kw)
+    m1 = make_model(make_grid(), bottom_drag=("quadratic", 2.5e-1), **kw)
+    s0 = run(m0, initial_state(m0, u=ui), 10)
+    s1 = run(m1, initial_state(m1, u=ui), 10)
+    g = m0.grid
+    a0 = float(np.abs(np.asarray(g.interior(s0.u))).max())
+    a1 = float(np.abs(np.asarray(g.interior(s1.u))).max())
+    assert a1 < 0.99 * a0
+
+
+def test_horizontal_diffusion_smooths_and_conserves():
+    """κ_h smooths tracer extrema and, because the diffusive fluxes are masked face
+    fluxes, the seam-aware tracer content stays conserved to round-off."""
+    from orthogonalsphericalshellgrids_tpu.models.diagnostics import tracer_content
+
+    def ci(lam, phi):
+        return np.sign(np.sin(np.deg2rad(lam) * 11) * np.sin(np.deg2rad(phi) * 13))
+
+    kw = dict(free_surface=SplitExplicitFreeSurface(substeps=8), bottom_height=bottom)
+    m0 = make_model(make_grid(), **kw)
+    m1 = make_model(make_grid(), kappa_h=5e3, **kw)
+    s0 = run(m0, initial_state(m0, c=ci), 10)
+    st1 = initial_state(m1, c=ci)
+    c_before = float(tracer_content(m1, st1))
+    # the checkerboard's SIGNED content cancels to ~0, so normalize the drift by the
+    # gross content Σ|c|·Az·H (the scale round-off actually accumulates against)
+    gross = float(tracer_content(m1, type(st1)(**{**st1.__dict__, "c": jnp.abs(st1.c)})))
+    s1 = run(m1, initial_state(m1, c=ci), 10)
+    c_after = float(tracer_content(m1, s1))
+    g = m0.grid
+
+    def var(s):
+        c = np.asarray(g.interior(s.c))
+        m = np.asarray(g.interior(m0.ib.mask_c))
+        mu = (c * m).sum() / m.sum()
+        return ((c - mu) ** 2 * m).sum() / m.sum()
+
+    assert var(s1) < var(s0)
+    assert abs(c_after - c_before) <= 1e-11 * gross
+
+
+def test_viscosity_damps_kinetic_energy():
+    def ui(lam, phi):
+        return np.sin(np.deg2rad(phi) * 16) * np.cos(np.deg2rad(lam) * 7)
+
+    kw = dict(free_surface=SplitExplicitFreeSurface(substeps=8), bottom_height=bottom)
+    m0 = make_model(make_grid(), **kw)
+    m1 = make_model(make_grid(), nu_h=5e3, **kw)
+    s0 = run(m0, initial_state(m0, u=ui), 10)
+    s1 = run(m1, initial_state(m1, u=ui), 10)
+    g = m0.grid
+
+    def ke(s):
+        return float((np.asarray(g.interior(s.u)) ** 2).sum())
+
+    assert ke(s1) < 0.99 * ke(s0)
+    assert np.isfinite(np.asarray(s1.u)).all()
+
+
+def test_layered_wind_acts_on_surface_layer():
+    """After one step, the stress-forced surface layer must lead the subsurface by a
+    wide margin (the barotropic corrector spreads only the depth MEAN)."""
+    tau = 1e-4
+    model = make_layered_model(
+        make_grid(nz=4), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom,
+        wind_stress=lambda lam, phi: (np.full_like(lam, tau), np.zeros_like(lam)))
+    state = layered_initial_state(model)
+    out = jax.jit(layered_multi_step, static_argnums=(3,))(model, state, 60.0, 1)
+    g = model.grid
+    I = g.interior2d
+    mask = np.asarray(model.mask_u3)
+    u = np.asarray(out.u)
+    mean0 = (u[0] * mask[0])[I].sum() / mask[0][I].sum()
+    mean1 = (u[1] * mask[1])[I].sum() / mask[1][I].sum()
+    assert mean0 > 0
+    assert mean0 > 4.0 * abs(mean1), (mean0, mean1)
+
+
+def test_layered_bottom_drag_acts_on_bottom_layer():
+    model = make_layered_model(
+        make_grid(nz=4), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, bottom_drag=("linear", 0.05))
+    state = layered_initial_state(
+        model, u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2)
+    out = jax.jit(layered_multi_step, static_argnums=(3,))(model, state, 60.0, 10)
+    g = model.grid
+    I = g.interior2d
+    mask = np.asarray(model.mask_u3)
+    u = np.asarray(out.u)
+    top = np.abs(u[0] * mask[0])[I].sum() / mask[0][I].sum()
+    bot = np.abs(u[-1] * mask[-1])[I].sum() / mask[-1][I].sum()
+    assert bot < 0.98 * top, (top, bot)
