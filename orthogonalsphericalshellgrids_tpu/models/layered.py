@@ -194,6 +194,13 @@ def make_layered_model(
         below = jnp.concatenate([m3[1:], jnp.zeros_like(m3[:1])], axis=0)
         return m3 * (1.0 - below)
 
+    # Corrector column depths MUST be the quantized Σ dz·mask (NOT the continuous
+    # ib.h_u/h_v): the corrector enforces Σ(u_new·dzu) = U_a only when ubar/Ubar are
+    # normalized by the same thickness the layer fluxes carry. With the continuous
+    # depth, a bottom that isn't layer-aligned (e.g. 950 m in 250 m layers → Σdz=750)
+    # would leave a barotropic-baroclinic residual every step.
+    dzu = dz * mask_u3
+    dzv = dz * mask_v3
     return LayeredModel(
         baro=baro,
         mask_c3=mask_c3,
@@ -201,10 +208,10 @@ def make_layered_model(
         mask_v3=mask_v3,
         bot_u=bottom_indicator(mask_u3),
         bot_v=bottom_indicator(mask_v3),
-        dzu=dz * mask_u3,
-        dzv=dz * mask_v3,
-        inv_h_u=_inv(baro.ib.h_u),
-        inv_h_v=_inv(baro.ib.h_v),
+        dzu=dzu,
+        dzv=dzv,
+        inv_h_u=_inv(jnp.sum(dzu, axis=0)),
+        inv_h_v=_inv(jnp.sum(dzv, axis=0)),
         nz=nz,
         dz=float(dz),
         buoyancy=bool(buoyancy),

@@ -46,6 +46,15 @@ class OutputWriter:
         self._compression = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
         if overwrite_existing and os.path.exists(filename):
             os.remove(filename)
+        elif os.path.exists(filename):
+            # appending to an existing archive: continue numbering after the last
+            # snapshot already present (duplicate member names would make np.load
+            # silently keep one entry per name and scramble the series)
+            with zipfile.ZipFile(filename) as z:
+                idx = [int(n.split(".")[-2]) for n in z.namelist()
+                       if n.startswith("times.") and n.endswith(".npy")]
+            self._count = max(idx) + 1 if idx else 0
+        self._error: BaseException | None = None
         self._queue: queue.Queue | None = None
         self._worker: threading.Thread | None = None
         if async_write:
@@ -66,6 +75,7 @@ class OutputWriter:
                 ge = sim.model.grid_ext
                 arr = arr[ge.interior2d]
             arrs[name] = arr
+        self._raise_pending()
         job = (self._count, float(sim.time), arrs)
         self._count += 1
         if self._queue is not None:
@@ -88,14 +98,31 @@ class OutputWriter:
         while True:
             job = self._queue.get()
             if job is None:
+                self._queue.task_done()
                 return
-            self._write(job)
-            self._queue.task_done()
+            try:
+                if self._error is None:  # after a failure, drop (don't corrupt) jobs
+                    self._write(job)
+            except BaseException as e:  # noqa: BLE001 — surfaced via _raise_pending
+                if self._error is None:
+                    self._error = e
+            finally:
+                # task_done unconditionally: a failed _write must not deadlock
+                # close()/queue.join()
+                self._queue.task_done()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(
+                f"async OutputWriter for {self.filename!r} failed") from err
 
     def close(self) -> None:
-        """Drain the async writer (no-op for synchronous writers)."""
+        """Drain the async writer (no-op for synchronous writers); re-raises the
+        first error the writer thread hit, if any."""
         if self._queue is not None:
             self._queue.join()
+        self._raise_pending()
 
     flush = close  # backward-compatible alias
 

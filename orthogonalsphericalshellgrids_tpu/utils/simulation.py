@@ -142,25 +142,29 @@ class Simulation:
         self.wall_start = time.time()
         it = self.iteration
         t = self.time
-        while t < self.stop_time and it < self.stop_iteration:
-            nb = self.steps_per_block
-            remaining = self.stop_time - t
-            if nb > 1 and remaining >= nb * self.dt and it + nb <= self.stop_iteration:
-                self.state = self._multi(self.model, self.state, self.dt)
-                it += nb
-                t += nb * self.dt
-            else:
-                # don't overshoot stop_time
-                dt = min(self.dt, max(remaining, 1e-12)) if self.stop_time < float("inf") else self.dt
-                self.state = self._step(self.model, self.state, dt)
-                it += 1
-                t += dt
-            for schedule, fn in self.callbacks:
-                if schedule(it, t):
-                    fn(self)
-        jax.block_until_ready(self.state)
-        for _, fn in self.callbacks:  # drain async output writers
-            close = getattr(fn, "close", None)
-            if callable(close):
-                close()
+        try:
+            while t < self.stop_time and it < self.stop_iteration:
+                nb = self.steps_per_block
+                remaining = self.stop_time - t
+                if nb > 1 and remaining >= nb * self.dt and it + nb <= self.stop_iteration:
+                    self.state = self._multi(self.model, self.state, self.dt)
+                    it += nb
+                    t += nb * self.dt
+                else:
+                    # don't overshoot stop_time
+                    dt = min(self.dt, max(remaining, 1e-12)) if self.stop_time < float("inf") else self.dt
+                    self.state = self._step(self.model, self.state, dt)
+                    it += 1
+                    t += dt
+                for schedule, fn in self.callbacks:
+                    if schedule(it, t):
+                        fn(self)
+            jax.block_until_ready(self.state)
+        finally:
+            # drain async output writers even on an exception / KeyboardInterrupt
+            # mid-run, so queued snapshots reach disk before the thread dies
+            for _, fn in self.callbacks:
+                close = getattr(fn, "close", None)
+                if callable(close):
+                    close()
         return self.state

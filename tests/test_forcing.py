@@ -143,12 +143,19 @@ def test_horizontal_diffusion_smooths_and_conserves():
 
 
 def test_viscosity_damps_kinetic_energy():
+    """KE decays at the Laplacian rate ~exp(-2·ν·k²·t). For the sin(16φ)cos(7λ)
+    field on this grid the gravest resolved wavelengths are O(1000 km), so over
+    t = 600 s a ν large enough to produce a >1% drop needs to be O(10⁶ m²/s)
+    (diffusive number ν·Δt/Δx² stays ≪ 1 at this resolution, so the explicit step
+    is still stable). The previous ν=5e3 run decayed KE by only ~5e-5 — physically
+    correct but below the old 1% assertion; calibrate ν to the assertion instead."""
     def ui(lam, phi):
         return np.sin(np.deg2rad(phi) * 16) * np.cos(np.deg2rad(lam) * 7)
 
+    nu = 2e6
     kw = dict(free_surface=SplitExplicitFreeSurface(substeps=8), bottom_height=bottom)
     m0 = make_model(make_grid(), **kw)
-    m1 = make_model(make_grid(), nu_h=5e3, **kw)
+    m1 = make_model(make_grid(), nu_h=nu, **kw)
     s0 = run(m0, initial_state(m0, u=ui), 10)
     s1 = run(m1, initial_state(m1, u=ui), 10)
     g = m0.grid
@@ -156,7 +163,11 @@ def test_viscosity_damps_kinetic_energy():
     def ke(s):
         return float((np.asarray(g.interior(s.u)) ** 2).sum())
 
+    # Viscous run loses energy relative to the inviscid twin — by more than 1%
+    # (the analytic decay at this ν and spectrum is a few %), but not implausibly
+    # much (>50% would mean the operator is unstable or mis-scaled).
     assert ke(s1) < 0.99 * ke(s0)
+    assert ke(s1) > 0.50 * ke(s0)
     assert np.isfinite(np.asarray(s1.u)).all()
 
 

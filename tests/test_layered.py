@@ -227,3 +227,45 @@ def test_vertical_velocity_continuity():
     np.testing.assert_allclose(np.asarray(w[-1]), 0.0, atol=0)
     hdiv = (dxc(g.dy_fc * model.dzu * u) + dyc(g.dx_cf * model.dzv * v)) * _inv(g.az_cc)
     np.testing.assert_allclose(np.asarray(w[:-1] - w[1:]), np.asarray(-hdiv), atol=1e-15)
+
+
+def test_corrector_consistency_unaligned_bottom():
+    """Split-explicit consistency with a bottom NOT aligned to layer interfaces:
+    after a step, the quantized depth integral of the layer velocities must equal the
+    subcycle-averaged barotropic transport exactly (Σ u·dzu == U_a). Regression for
+    the continuous-vs-quantized corrector-depth bug (ADVICE r1)."""
+    def bumpy_bottom(lam, phi):
+        land = (
+            ((np.abs(lam - LAM_P) < 10) & (np.abs(PHI_P - phi) < 10))
+            | ((np.abs(lam - (LAM_P + 180.0)) < 10) & (np.abs(PHI_P - phi) < 10))
+            | (phi < -78)
+        )
+        # 4 layers of 250 m over (-1000, 0): depths like 920/630 are mid-layer
+        depth = -1000.0 + 370.0 / np.cosh(np.deg2rad(phi - 10) * 6) ** 2
+        return np.where(land, 1.0, depth)
+
+    model = make_layered_model(
+        make_grid(4), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bumpy_bottom)
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: ui(lam, phi),
+        v=lambda lam, phi, z: vi(lam, phi),
+        c=lambda lam, phi, z: ci(lam, phi),
+    )
+    out = run_layered(model, state, 3, dt=60.0)
+
+    from orthogonalsphericalshellgrids_tpu.models.hydrostatic import crop_ext
+
+    g = model.grid
+    I = g.interior2d
+    Ubar = np.asarray(crop_ext(g, model.grid_ext, out.U))[I]
+    Uq = np.asarray(jnp.sum(out.u * model.dzu, axis=0))[I]
+    # only compare where the quantized column is wet (sub-half-layer columns carry no
+    # resolved layers by full-cell GridFittedBottom construction)
+    wet = np.asarray(jnp.sum(model.dzu, axis=0))[I] > 0
+    np.testing.assert_allclose(Uq[wet], Ubar[wet], rtol=0, atol=1e-12)
+    Vbar = np.asarray(crop_ext(g, model.grid_ext, out.V))[I]
+    Vq = np.asarray(jnp.sum(out.v * model.dzv, axis=0))[I]
+    wetv = np.asarray(jnp.sum(model.dzv, axis=0))[I] > 0
+    np.testing.assert_allclose(Vq[wetv], Vbar[wetv], rtol=0, atol=1e-12)
