@@ -13,8 +13,9 @@ Index convention (0-based): a face-x located value ``f[..., i]`` sits *between* 
 shifted to 0-based). Likewise in y.
 
 Everything here is pure jnp; XLA fuses the roll/arith chains into the surrounding
-kernels. The Pallas fused-tendency kernels (ops/pallas_stencils.py) are drop-in
-replacements for the hot compositions.
+kernels. The Pallas kernels (ops/pallas_baro.py for the barotropic subcycle,
+ops/pallas_tend.py for the fused tendency path) are drop-in replacements for the hot
+compositions.
 """
 
 from __future__ import annotations

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import hydrostatic as hydro
 from ..models.hydrostatic import HydrostaticModel, State
 from ..ops.spmd import Spmd, fill_halos_spmd
+from . import layouts
 
 __all__ = ["Spmd", "fill_halos_spmd", "make_mesh", "distribute", "gather_state",
            "sharded_step_fn", "distribute_layered", "gather_layered_state",
@@ -81,6 +82,35 @@ def _pspec_for(leaf):
     return P()
 
 
+def _repartition_tree(tree, n: int, ny: int, g, ge):
+    """Tag-driven serial -> stacked-per-shard conversion: every leaf's layout comes
+    from its registered name (parallel/layouts.py), never from its shape. 3-D leaves
+    are stacked planes, row-partitioned per plane; alignment padding past the tagged
+    layout (the Pallas packs) is sliced off — per-shard kernels rebuild their own."""
+
+    def repartition(path, leaf):
+        tag = layouts.leaf_layout(path)
+        a = np.asarray(leaf)
+        if tag == layouts.REP or a.ndim < 2:
+            return a
+        Hy = g.Hy if tag == layouts.BASE else ge.Hy
+        rows = g.Ny + 2 * Hy
+        if a.ndim == 2:
+            if a.shape[0] != rows:
+                raise ValueError(
+                    f"leaf {jax.tree_util.keystr(path)} tagged {tag!r} has "
+                    f"{a.shape[0]} rows, layout expects {rows}")
+            return _partition_rows(a, n, ny, Hy)
+        if a.shape[1] < rows:
+            raise ValueError(
+                f"3-D leaf {jax.tree_util.keystr(path)} tagged {tag!r} has "
+                f"{a.shape[1]} rows, layout expects >= {rows}")
+        return np.stack([_partition_rows(a[k][:rows], n, ny, Hy)
+                         for k in range(a.shape[0])])
+
+    return jax.tree_util.tree_map_with_path(repartition, tree)
+
+
 def distribute(model: HydrostaticModel, state: State, mesh: Mesh):
     """Partition a serial model+state onto the mesh.
 
@@ -99,35 +129,8 @@ def distribute(model: HydrostaticModel, state: State, mesh: Mesh):
             f"(the communication-free barotropic loop folds that far)"
         )
 
-    def repartition(leaf, Hy_base, Hy_ext, Ny_glob):
-        a = np.asarray(leaf)
-        if a.ndim == 3:
-            # stacked operand packs (K, Ye, Xe) for the Pallas kernels: partition the
-            # row axis per plane; the (possibly) padded rows beyond the halo layout
-            # are rebuilt per shard by the kernels' own pad logic, so slice them off
-            # check the larger (extended-halo) layout first: a padded ext pack also
-            # clears the base-rows threshold
-            for rows, Hy_k in ((Ny_glob + 2 * Hy_ext, Hy_ext), (Ny_glob + 2 * Hy_base, Hy_base)):
-                if a.shape[1] >= rows:
-                    blocks = [_partition_rows(a[k][:rows], n, ny, Hy_k) for k in range(a.shape[0])]
-                    return np.stack(blocks)
-            raise ValueError(f"unexpected 3-D leaf shape {a.shape}")
-        if a.ndim != 2:
-            return a
-        if a.shape[0] == Ny_glob + 2 * Hy_base:
-            return _partition_rows(a, n, ny, Hy_base)
-        if a.shape[0] == Ny_glob + 2 * Hy_ext:
-            return _partition_rows(a, n, ny, Hy_ext)
-        raise ValueError(f"unexpected 2-D leaf rows {a.shape}")
-
-    def convert(tree, grid_meta_updates):
-        leaves = jax.tree_util.tree_map(
-            lambda leaf: repartition(leaf, g.Hy, ge.Hy, g.Ny), tree
-        )
-        return leaves
-
-    dist_model_host = convert(model, None)
-    dist_state_host = convert(state, None)
+    dist_model_host = _repartition_tree(model, n, ny, g, ge)
+    dist_state_host = _repartition_tree(state, n, ny, g, ge)
 
     # rewrite static metadata to local sizes
     local_grid = dataclasses.replace(dist_model_host.grid, Ny=ny)
@@ -142,45 +145,37 @@ def distribute(model: HydrostaticModel, state: State, mesh: Mesh):
     return put(dist_model_host), put(dist_state_host)
 
 
-def gather_state(dist_state: State, model_serial: HydrostaticModel, n: int) -> State:
-    """Reassemble a serial-layout State from a distributed one (the analog of the
+def _gather_tree(dist_tree, n: int, g, ge):
+    """Tag-driven stacked-per-shard -> serial-layout conversion (the analog of the
     reference's reconstruct_global_grid path for fields,
-    src/distributed_tripolar_grid.jl:201-226): keep each shard's interior rows, then
-    re-wrap halos from the serial grid's fill on next use."""
-    g, ge = model_serial.grid, model_serial.grid_ext
+    src/distributed_tripolar_grid.jl:201-226): keep each shard's interior rows; halos
+    re-fill from the serial grid's fill on next use."""
     ny = g.Ny // n
 
-    def unpart(leaf, Hy, Ny_glob):
-        a = np.asarray(leaf)
+    def unpart2(a, Hy):
         block_rows = ny + 2 * Hy
         interiors = [a[k * block_rows + Hy : k * block_rows + Hy + ny] for k in range(n)]
-        out = np.zeros((Ny_glob + 2 * Hy, a.shape[1]), a.dtype)
-        out[Hy : Hy + Ny_glob] = np.concatenate(interiors, axis=0)
+        out = np.zeros((g.Ny + 2 * Hy, a.shape[-1]), a.dtype)
+        out[Hy : Hy + g.Ny] = np.concatenate(interiors, axis=0)
         return out
 
-    def conv(leaf, ref_leaf):
+    def conv(path, leaf):
+        tag = layouts.leaf_layout(path)
         a = np.asarray(leaf)
-        if a.ndim != 2:
-            return jnp.asarray(a)
-        ref_rows = np.asarray(ref_leaf).shape[0]
-        if ref_rows == g.Ny + 2 * g.Hy:
-            return jnp.asarray(unpart(a, g.Hy, g.Ny))
-        return jnp.asarray(unpart(a, ge.Hy, g.Ny))
+        if tag == layouts.REP or a.ndim < 2:
+            # a replicated scalar may come back with a per-shard leading axis
+            return jnp.asarray(a.ravel()[0]) if a.ndim > 0 and a.size > 1 else leaf
+        Hy = g.Hy if tag == layouts.BASE else ge.Hy
+        if a.ndim == 3:
+            return jnp.asarray(np.stack([unpart2(a[k], Hy) for k in range(a.shape[0])]))
+        return jnp.asarray(unpart2(a, Hy))
 
-    ref = model_serial  # for shapes
-    return State(
-        u=conv(dist_state.u, ref.grid.lam_cc),
-        v=conv(dist_state.v, ref.grid.lam_cc),
-        eta=conv(dist_state.eta, ref.grid_ext.lam_cc),
-        U=conv(dist_state.U, ref.grid_ext.lam_cc),
-        V=conv(dist_state.V, ref.grid_ext.lam_cc),
-        c=conv(dist_state.c, ref.grid.lam_cc),
-        Gu=conv(dist_state.Gu, ref.grid.lam_cc),
-        Gv=conv(dist_state.Gv, ref.grid.lam_cc),
-        Gc=conv(dist_state.Gc, ref.grid.lam_cc),
-        t=dist_state.t if np.ndim(dist_state.t) == 0 else np.asarray(dist_state.t).ravel()[0],
-        iteration=dist_state.iteration,
-    )
+    return jax.tree_util.tree_map_with_path(conv, dist_tree)
+
+
+def gather_state(dist_state: State, model_serial: HydrostaticModel, n: int) -> State:
+    """Reassemble a serial-layout State from a distributed one."""
+    return _gather_tree(dist_state, n, model_serial.grid, model_serial.grid_ext)
 
 
 def sharded_step_fn(mesh: Mesh, dist_model: HydrostaticModel):
@@ -199,11 +194,12 @@ def sharded_step_fn(mesh: Mesh, dist_model: HydrostaticModel):
             mesh=mesh,
             in_specs=(model_specs, state_specs, P()),
             out_specs=state_specs,
-            # check_vma=False: the varying-mesh-axes checker cannot annotate the
-            # Pallas kernel's ShapeDtypeStruct out_shape (ops/pallas_baro.py) and
-            # rejects the trace; correctness is pinned by the sharded-vs-serial
-            # bitwise tests instead.
-            check_vma=False,
+            # The varying-mesh-axes checker cannot annotate the Pallas kernel's
+            # ShapeDtypeStruct out_shape (ops/pallas_baro.py) and rejects the trace,
+            # so it is disabled ONLY when the Pallas path is in the trace; the XLA
+            # path (CPU tests) keeps the checker on, and the Pallas path is pinned
+            # by the sharded-vs-serial bitwise tests instead.
+            check_vma=not dist_model.use_pallas,
         )
         return fn(dist_model, dist_state, dt)
 
@@ -222,8 +218,6 @@ def distribute_layered(model, state, mesh: Mesh):
     engine's stacked Pallas operand packs alike — is partitioned along its row axis
     into halo-inclusive per-shard blocks; grid metadata is rewritten to local sizes so
     the unchanged serial layered_step runs inside shard_map."""
-    from ..models.layered import LayeredModel, LayeredState  # local import: no cycle
-
     n = mesh.devices.size
     g, ge = model.grid, model.baro.grid_ext
     if g.Ny % n != 0:
@@ -232,24 +226,8 @@ def distribute_layered(model, state, mesh: Mesh):
     if ny < ge.Hy:
         raise ValueError(f"local rows ny={ny} must cover the extended halo Hy={ge.Hy}")
 
-    def repart(leaf):
-        a = np.asarray(leaf)
-        if a.ndim == 3:
-            for rows, Hy_k in ((g.Ny + 2 * ge.Hy, ge.Hy), (g.Ny + 2 * g.Hy, g.Hy)):
-                if a.shape[1] >= rows:
-                    return np.stack(
-                        [_partition_rows(a[k][:rows], n, ny, Hy_k) for k in range(a.shape[0])])
-            raise ValueError(f"unexpected 3-D leaf shape {a.shape}")
-        if a.ndim != 2:
-            return a
-        if a.shape[0] == g.Ny + 2 * g.Hy:
-            return _partition_rows(a, n, ny, g.Hy)
-        if a.shape[0] == g.Ny + 2 * ge.Hy:
-            return _partition_rows(a, n, ny, ge.Hy)
-        raise ValueError(f"unexpected 2-D leaf rows {a.shape}")
-
-    dist_model = jax.tree_util.tree_map(repart, model)
-    dist_state = jax.tree_util.tree_map(repart, state)
+    dist_model = _repartition_tree(model, n, ny, g, ge)
+    dist_state = _repartition_tree(state, n, ny, g, ge)
 
     local_baro = dataclasses.replace(
         dist_model.baro,
@@ -266,36 +244,7 @@ def distribute_layered(model, state, mesh: Mesh):
 def gather_layered_state(dist_state, model_serial, n: int):
     """Reassemble a serial-layout LayeredState from a distributed one (interior rows
     per shard; halos re-filled by the serial step on next use)."""
-    from ..models.layered import LayeredState
-
-    g, ge = model_serial.grid, model_serial.baro.grid_ext
-    ny = g.Ny // n
-
-    def unpart2(a, Hy, Ny_glob):
-        block = ny + 2 * Hy
-        interiors = [a[k * block + Hy : k * block + Hy + ny] for k in range(n)]
-        out = np.zeros((Ny_glob + 2 * Hy, a.shape[-1]), a.dtype)
-        out[Hy : Hy + Ny_glob] = np.concatenate(interiors, axis=0)
-        return out
-
-    def conv(leaf, ext=False):
-        a = np.asarray(leaf)
-        Hy = ge.Hy if ext else g.Hy
-        if a.ndim == 3:
-            return jnp.asarray(np.stack([unpart2(a[k], Hy, g.Ny) for k in range(a.shape[0])]))
-        if a.ndim == 2:
-            return jnp.asarray(unpart2(a, Hy, g.Ny))
-        return jnp.asarray(a)
-
-    return LayeredState(
-        u=conv(dist_state.u), v=conv(dist_state.v),
-        eta=conv(dist_state.eta, ext=True), U=conv(dist_state.U, ext=True),
-        V=conv(dist_state.V, ext=True),
-        c=conv(dist_state.c), b=conv(dist_state.b),
-        Gu=conv(dist_state.Gu), Gv=conv(dist_state.Gv), Gc=conv(dist_state.Gc),
-        Gb=conv(dist_state.Gb),
-        t=dist_state.t, iteration=dist_state.iteration,
-    )
+    return _gather_tree(dist_state, n, model_serial.grid, model_serial.baro.grid_ext)
 
 
 def sharded_layered_step_fn(mesh: Mesh, dist_model):
@@ -313,7 +262,8 @@ def sharded_layered_step_fn(mesh: Mesh, dist_model):
             mesh=mesh,
             in_specs=(model_specs, state_specs, P()),
             out_specs=state_specs,
-            check_vma=False,
+            # see sharded_step_fn: checker off only when Pallas is in the trace
+            check_vma=not dist_model.baro.use_pallas,
         )
         return fn(dist_model, dist_state, dt)
 

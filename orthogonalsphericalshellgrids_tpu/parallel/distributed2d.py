@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import hydrostatic as hydro
 from ..models.hydrostatic import HydrostaticModel, State
 from ..ops.spmd2d import Spmd2D
+from . import layouts
 
 __all__ = ["make_mesh2d", "distribute2d", "gather_state2d", "sharded_step_fn2d"]
 
@@ -71,29 +72,30 @@ def distribute2d(model: HydrostaticModel, state: State, mesh: Mesh):
     def repart2(a, Hy_k, Hx_k):
         return _partition_blocks(a, n_y, n_x, ny, nx, Hy_k, Hx_k)
 
-    def repartition(leaf):
+    def repartition(path, leaf):
+        # layout by registered leaf name (parallel/layouts.py), never by shape
+        tag = layouts.leaf_layout(path)
         a = np.asarray(leaf)
-        shapes = {
-            (g.Ny + 2 * g.Hy, g.Nx + 2 * g.Hx): (g.Hy, g.Hx),
-            (g.Ny + 2 * ge.Hy, g.Nx + 2 * ge.Hx): (ge.Hy, ge.Hx),
-        }
+        if tag == layouts.REP or a.ndim < 2:
+            return a
+        Hy_k, Hx_k = (g.Hy, g.Hx) if tag == layouts.BASE else (ge.Hy, ge.Hx)
+        rows, cols = g.Ny + 2 * Hy_k, g.Nx + 2 * Hx_k
         if a.ndim == 2:
-            if a.shape in shapes:
-                return repart2(a, *shapes[a.shape])
-            raise ValueError(f"unexpected 2-D leaf {a.shape}")
-        if a.ndim == 3:
-            for (rows, cols), (Hy_k, Hx_k) in shapes.items():
-                if a.shape[1] >= rows and a.shape[2] >= cols and (
-                    a.shape[1] - rows < 200 and a.shape[2] - cols < 200
-                ):
-                    trimmed = a[:, :rows, :cols]
-                    return np.stack([repart2(trimmed[k], Hy_k, Hx_k)
-                                     for k in range(a.shape[0])])
-            raise ValueError(f"unexpected 3-D leaf {a.shape}")
-        return a
+            if a.shape != (rows, cols):
+                raise ValueError(
+                    f"leaf {jax.tree_util.keystr(path)} tagged {tag!r} has shape "
+                    f"{a.shape}, layout expects {(rows, cols)}")
+            return repart2(a, Hy_k, Hx_k)
+        if a.shape[1] < rows or a.shape[2] < cols:
+            raise ValueError(
+                f"3-D leaf {jax.tree_util.keystr(path)} tagged {tag!r} has planes "
+                f"{a.shape[1:]}, layout expects >= {(rows, cols)}")
+        # slice off Pallas alignment padding; per-shard kernels rebuild their own
+        trimmed = a[:, :rows, :cols]
+        return np.stack([repart2(trimmed[k], Hy_k, Hx_k) for k in range(a.shape[0])])
 
-    dist_model = jax.tree_util.tree_map(repartition, model)
-    dist_state = jax.tree_util.tree_map(repartition, state)
+    dist_model = jax.tree_util.tree_map_with_path(repartition, model)
+    dist_state = jax.tree_util.tree_map_with_path(repartition, state)
 
     local_grid = dataclasses.replace(dist_model.grid, Nx=nx, Ny=ny)
     local_grid_ext = dataclasses.replace(dist_model.grid_ext, Nx=nx, Ny=ny)
@@ -121,22 +123,19 @@ def gather_state2d(dist_state: State, model_serial: HydrostaticModel, mesh: Mesh
                                                                  Hx_k : Hx_k + nx]
         return out
 
-    def conv(leaf, ext):
+    def conv(path, leaf):
+        tag = layouts.leaf_layout(path)
         a = np.asarray(leaf)
-        if a.ndim != 2:
-            return jnp.asarray(a)
-        if ext:
-            return jnp.asarray(unpart(a, ge.Hy, ge.Hx, g.Ny + 2 * ge.Hy, g.Nx + 2 * ge.Hx))
-        return jnp.asarray(unpart(a, g.Hy, g.Hx, g.Ny + 2 * g.Hy, g.Nx + 2 * g.Hx))
+        if tag == layouts.REP or a.ndim < 2:
+            return jnp.asarray(a.ravel()[0]) if a.ndim > 0 and a.size > 1 else leaf
+        Hy_k, Hx_k = (g.Hy, g.Hx) if tag == layouts.BASE else (ge.Hy, ge.Hx)
+        Yg, Xg = g.Ny + 2 * Hy_k, g.Nx + 2 * Hx_k
+        if a.ndim == 3:
+            return jnp.asarray(np.stack(
+                [unpart(a[k], Hy_k, Hx_k, Yg, Xg) for k in range(a.shape[0])]))
+        return jnp.asarray(unpart(a, Hy_k, Hx_k, Yg, Xg))
 
-    return State(
-        u=conv(dist_state.u, False), v=conv(dist_state.v, False),
-        eta=conv(dist_state.eta, True), U=conv(dist_state.U, True),
-        V=conv(dist_state.V, True), c=conv(dist_state.c, False),
-        Gu=conv(dist_state.Gu, False), Gv=conv(dist_state.Gv, False),
-        Gc=conv(dist_state.Gc, False),
-        t=dist_state.t, iteration=dist_state.iteration,
-    )
+    return jax.tree_util.tree_map_with_path(conv, dist_state)
 
 
 def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int):
@@ -153,8 +152,9 @@ def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int):
             mesh=mesh,
             in_specs=(model_specs, state_specs, P()),
             out_specs=state_specs,
-            # see parallel/distributed.py: the vma checker rejects Pallas out_shapes
-            check_vma=False,
+            # see parallel/distributed.py: the vma checker rejects Pallas out_shapes,
+            # so it is off only when the Pallas path is actually in the trace
+            check_vma=not dist_model.use_pallas,
         )
         return fn(dist_model, dist_state, dt)
 
