@@ -39,7 +39,7 @@ import numpy as np
 from ..grids.immersed import ImmersedBoundary, make_immersed_boundary
 from ..grids.tripolar import TripolarGrid, with_halo
 from ..ops import zipper
-from ..ops.spmd import fill_halos_spmd, fill_halos_spmd_batch
+from ..ops.spmd import Spmd, fill_halos_spmd, fill_halos_spmd_batch
 from ..ops.spmd2d import Spmd2D, fill_halos_spmd2d_batch
 from ..ops.advection import (centered_faces_from_centers,
                              weno5_upwind_centers_from_faces,
@@ -498,6 +498,72 @@ def tendencies(model: HydrostaticModel, u, v, c):
     return Gu, Gv, Gc
 
 
+def _model_rows(model: HydrostaticModel, r0: int, r1: int) -> HydrostaticModel:
+    """Row-sliced view of the model for boundary-strip tendency recompute: every
+    BASE-layout array leaf keeps rows [r0, r1); extended-halo and replicated leaves
+    pass through untouched (``tendencies`` never reads them). Layout tags come from
+    parallel/layouts.py (imported lazily — parallel imports this module)."""
+    from ..parallel import layouts
+
+    def sl(path, leaf):
+        if layouts.leaf_layout(path) != layouts.BASE or getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        return leaf[..., r0:r1, :]
+
+    return jax.tree_util.tree_map_with_path(sl, model)
+
+
+def tendencies_overlapped(model: HydrostaticModel, state: State, spmd: Spmd):
+    """Interior/boundary-split tendency evaluation (SURVEY.md §2.3's comm/compute
+    overlap; reference context ``src/distributed_tripolar_grid.jl:171``).
+
+    The unsplit path makes the WHOLE tendency compute data-dependent on the ppermute
+    halo exchange (the stencils read the concatenated exchanged rows), so XLA cannot
+    overlap them. Here the dependency is cut by construction:
+
+    - the bulk tendency pass runs on the LOCAL array with only the (local) periodic
+      x-wrap applied — no dependence on any collective, so the scheduler is free to
+      run the ppermute exchange concurrently with it;
+    - rows whose stencils reach the exchanged halo rows (the Hy interior rows at each
+      end; total stencil radius <= Hy by the halo-width contract) are recomputed on
+      thin 3*Hy-row strips of the fully exchanged array and patched in.
+
+    Patched rows are computed from exactly the same exchanged data as the unsplit
+    path, and unpatched rows read only local interior rows that the exchange never
+    touches — the result is bitwise-equal to the unsplit step (pinned by
+    tests/test_distributed.py::test_overlap_split_bitwise).
+
+    Returns (Gu, Gv, Gc, S_filled) with S_filled the fully halo-filled (u, v, c)
+    stack (callers that need filled prognostics reuse it)."""
+    g = model.grid
+    H, ny = g.Hy, g.Ny  # local sizes inside shard_map
+
+    S0 = jnp.stack([state.u, state.v, state.c])
+    # local-only variant: x-wrap is local (each shard holds the full x extent in the
+    # 1-D decomposition); y halo rows stay stale and are never read by kept rows
+    S_stale = zipper.wrap_x(S0, g.Nx, g.Hx, xp=jnp)
+    # the full exchange — independent of the bulk compute below by construction
+    S_full = fill_halos_spmd_batch(S0, [FC, CF, CC], [-1, -1, 1], g.Nx, ny, g.Hx, H,
+                                   spmd)
+
+    G_bulk = tendencies(model, S_stale[0], S_stale[1], S_stale[2])
+
+    def strip(r0):
+        m_s = _model_rows(model, r0, r0 + 3 * H)
+        Ss = S_full[:, r0 : r0 + 3 * H, :]
+        return tendencies(m_s, Ss[0], Ss[1], Ss[2])
+
+    G_lo = strip(0)            # patches interior rows [H, 2H)
+    G_hi = strip(ny - H)       # patches interior rows [ny, ny+H)
+
+    def merge(bulk, lo, hi):
+        bulk = bulk.at[H : 2 * H].set(lo[H : 2 * H])
+        return bulk.at[ny : ny + H].set(hi[H : 2 * H])
+
+    Gu, Gv, Gc = (merge(b, l, h) for b, l, h in zip(G_bulk, G_lo, G_hi))
+    return Gu, Gv, Gc, S_full
+
+
 def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=None,
                         wrap_x_each_substep=True):
     """SM05-averaged forward-backward substepping of (η, U, V) on the extended-halo
@@ -545,25 +611,43 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=No
 
 
 def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
-         fill_mode=None) -> State:
+         fill_mode=None, overlap=None) -> State:
     """One full time step (reference call stack SURVEY.md §3.4): halo fills, WENO
     tendencies, quasi-AB2 extrapolation, communication-free barotropic subcycling,
     barotropic-velocity corrector (single-layer: u = U/H), tracer update.
 
     With ``spmd`` set (inside shard_map over a y mesh) the halo fills become ppermute
     neighbor exchanges; everything else — including the comm-free barotropic loop —
-    is unchanged local code (model metadata carries the LOCAL Ny)."""
+    is unchanged local code (model metadata carries the LOCAL Ny). On the 1-D mesh
+    the tendency evaluation is interior/boundary-split by default (``overlap``):
+    the exchange and the bulk stencil compute are data-independent so they can run
+    concurrently; results stay bitwise-equal to the unsplit path."""
     g = model.grid
     ge = model.grid_ext
     dt = jnp.asarray(dt, model.dtype)
 
+    if tend_pallas is None:
+        # The fused tendency kernel currently loses to the XLA path on v5e (VMEM
+        # pressure at the required window size forces spills); keep it opt-in.
+        tend_pallas = False
+    if (model.wind or model.drag_type != "none" or model.nu_h > 0.0
+            or model.kappa_h > 0.0):
+        tend_pallas = False  # forcing/closure terms live in the XLA tendency path
+    use_tend_pallas = tend_pallas and model.use_pallas
+    if overlap is None:
+        overlap = (isinstance(spmd, Spmd) and spmd.n_shards > 1
+                   and not use_tend_pallas)
+
     # Halo-fill mode: per-field for serial runs (the stack/unstack round-trips of the
     # batched path cost ~200 us/step on a v5e at 1/4 degree — measured, see
     # docs/performance.md), batched for SPMD runs (one collective pair for all
-    # planes beats per-field ppermutes).
+    # planes beats per-field ppermutes). With `overlap` the prognostic fill happens
+    # inside tendencies_overlapped instead.
     if fill_mode is None:
         fill_mode = "batch" if spmd is not None else "per"
-    if fill_mode == "batch" or spmd is not None:
+    if overlap:
+        SB = None
+    elif fill_mode == "batch" or spmd is not None:
         SB = _fill_batch(g, jnp.stack([state.u, state.v, state.c]),
                          [FC, CF, CC], [-1, -1, 1], spmd)
     else:
@@ -588,14 +672,7 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
     w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
 
-    if tend_pallas is None:
-        # The fused tendency kernel currently loses to the XLA path on v5e (VMEM
-        # pressure at the required window size forces spills); keep it opt-in.
-        tend_pallas = False
-    if (model.wind or model.drag_type != "none" or model.nu_h > 0.0
-            or model.kappa_h > 0.0):
-        tend_pallas = False  # forcing/closure terms live in the XLA tendency path
-    if tend_pallas and model.use_pallas:
+    if use_tend_pallas:
         from ..ops.pallas_tend import tendencies_pallas
 
         SBs = SB if not isinstance(SB, tuple) else jnp.stack(SB)
@@ -608,8 +685,11 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
             tracer_weno=model.tracer_advection == "weno5",
         )
     else:
-        u, v, c = SB[0], SB[1], SB[2]
-        Gu, Gv, Gc = tendencies(model, u, v, c)
+        if overlap:
+            Gu, Gv, Gc, _ = tendencies_overlapped(model, state, spmd)
+        else:
+            u, v, c = SB[0], SB[1], SB[2]
+            Gu, Gv, Gc = tendencies(model, u, v, c)
         Gu_s = w1 * Gu - w2 * state.Gu
         Gv_s = w1 * Gv - w2 * state.Gv
         Gc_s = w1 * Gc - w2 * state.Gc
@@ -660,7 +740,7 @@ def compute_cfl_dt(model: HydrostaticModel, state: State, cfl=0.3):
 
 
 def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=None,
-               tend_pallas=None, fill_mode=None) -> State:
+               tend_pallas=None, fill_mode=None, overlap=None) -> State:
     """n_steps time steps in one traced computation (lax.scan).
 
     Amortizes the per-dispatch overhead of a single jitted call across many steps —
@@ -669,7 +749,7 @@ def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=Non
 
     def body(s, _):
         return step(model, s, dt, spmd=spmd, tend_pallas=tend_pallas,
-                    fill_mode=fill_mode), None
+                    fill_mode=fill_mode, overlap=overlap), None
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out

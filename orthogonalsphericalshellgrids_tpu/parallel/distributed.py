@@ -178,8 +178,12 @@ def gather_state(dist_state: State, model_serial: HydrostaticModel, n: int) -> S
     return _gather_tree(dist_state, n, model_serial.grid, model_serial.grid_ext)
 
 
-def sharded_step_fn(mesh: Mesh, dist_model: HydrostaticModel):
-    """Jitted shard_map-wrapped step over the mesh. Returned fn: (state, dt) -> state."""
+def sharded_step_fn(mesh: Mesh, dist_model: HydrostaticModel, overlap=None):
+    """Jitted shard_map-wrapped step over the mesh. Returned fn: (state, dt) -> state.
+
+    ``overlap`` (default: on) selects the interior/boundary-split tendency path so
+    the ppermute halo exchange runs concurrently with the bulk stencil compute;
+    results are bitwise-equal either way (test_overlap_split_bitwise)."""
     n = mesh.devices.size
     spmd = Spmd(axis_name="y", n_shards=n)
 
@@ -188,7 +192,7 @@ def sharded_step_fn(mesh: Mesh, dist_model: HydrostaticModel):
 
     def run(dist_state, dt):
         state_specs = state_specs_fn(dist_state)
-        local = partial(hydro.step, spmd=spmd)
+        local = partial(hydro.step, spmd=spmd, overlap=overlap)
         fn = jax.shard_map(
             local,
             mesh=mesh,

@@ -181,3 +181,62 @@ def test_sharded_layered_matches_serial():
     ge = model.baro.grid_ext
     np.testing.assert_allclose(np.asarray(ge.interior(got.eta)),
                                np.asarray(ge.interior(ss.eta)), rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("forcing", [False, True])
+def test_overlap_split_bitwise(forcing):
+    """The interior/boundary-split tendency path (comm/compute overlap: the bulk
+    stencil pass has no data dependence on the ppermute exchange) must be
+    bitwise-equal to the unsplit sharded step — with and without forcing/closure
+    terms (which route through the same split)."""
+    grid = osg.TripolarGrid.make((32, 48, 1), dtype=jnp.float64,
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, 0.0)
+
+    kw = dict(free_surface=SplitExplicitFreeSurface(substeps=6), bottom_height=bottom)
+    if forcing:
+        kw.update(nu_h=5e3, kappa_h=1e3, bottom_drag=("linear", 1e-3),
+                  wind_stress=lambda lam, phi: (np.full_like(lam, 1e-4),
+                                                np.zeros_like(lam)))
+    model = make_model(grid, **kw)
+    state = initial_state(
+        model,
+        u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi: 0.05 * np.sin(np.deg2rad(lam) * 3),
+        c=lambda lam, phi: np.sin(2 * np.pi * np.deg2rad(phi) * 8 / 167.0),
+    )
+    n = 8
+    mesh = make_mesh(n)
+    dist_model, dist_state = distribute(model, state, mesh)
+    fn_split = sharded_step_fn(mesh, dist_model, overlap=True)
+    fn_unsplit = sharded_step_fn(mesh, dist_model, overlap=False)
+
+    sa = sb = dist_state
+    for _ in range(4):
+        sa = fn_split(sa, 120.0)
+        sb = fn_unsplit(sb, 120.0)
+
+    # Interior PROGNOSTICS must be BITWISE equal (halo rows are scratch in both
+    # paths — refilled from interiors before every read). The stored AB2 tendencies
+    # are allowed a ~1-ulp drift: the split graph fuses differently, so LLVM's
+    # FMA-contraction decisions can differ on identical input values.
+    ga = gather_state(sa, model, n)
+    gb = gather_state(sb, model, n)
+    g, ge = model.grid, model.grid_ext
+    for name, grid_of in [("u", g), ("v", g), ("c", g), ("eta", ge), ("U", ge),
+                          ("V", ge)]:
+        np.testing.assert_array_equal(
+            np.asarray(grid_of.interior(getattr(ga, name))),
+            np.asarray(grid_of.interior(getattr(gb, name))), err_msg=name)
+    for name in ("Gu", "Gv", "Gc"):
+        np.testing.assert_allclose(
+            np.asarray(g.interior(getattr(ga, name))),
+            np.asarray(g.interior(getattr(gb, name))),
+            rtol=1e-11, atol=0, err_msg=name)
