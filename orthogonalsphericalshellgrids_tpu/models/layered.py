@@ -41,14 +41,13 @@ import numpy as np
 
 from ..grids.tripolar import TripolarGrid
 from ..ops import zipper
-from ..ops.spmd import fill_halos_spmd
 from ..ops.advection import (centered_faces_from_centers,
                              weno5_upwind_centers_from_faces,
                              weno5_upwind_faces_from_centers)
 from ..ops.location import CC, CF, FC
 from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
-from .hydrostatic import (HydrostaticModel, _CHI, _inv, barotropic_substeps,
-                          crop_ext, embed_ext, make_model)
+from .hydrostatic import (HydrostaticModel, _CHI, _fill_batch, _inv,
+                          barotropic_substeps, crop_ext, embed_ext, make_model)
 from .split_explicit import SplitExplicitFreeSurface
 
 __all__ = [
@@ -424,38 +423,41 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
 
 def _fill3(model: LayeredModel, A, loc, sign, spmd=None):
     """Halo fill of an (Nz, Yb, Xb) stack — every zipper/ppermute op broadcasts over
-    the leading layer axis."""
+    the leading layer axis. Serial / 1-D Spmd / 2-D Spmd2D all supported (the 2-D
+    path routes the layer planes through the batched fold-aware strip-gather fill)."""
     g = model.grid
-    if spmd is None or spmd.n_shards == 1:
-        return zipper.fill_halos(A, loc, sign, g.Nx, g.Ny, g.Hx, g.Hy,
-                                 south="zero_gradient", xp=jnp)
-    return fill_halos_spmd(A, loc, sign, g.Nx, g.Ny, g.Hx, g.Hy, spmd)
+    nz = A.shape[0]
+    return _fill_batch(g, A, [loc] * nz, [sign] * nz, spmd)
 
 
 def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> LayeredState:
     """One layered time step: halo fills, per-layer tendencies, quasi-AB2, barotropic
     subcycling of (η, U, V) with the thickness-weighted baroclinic forcing, then the
     split-explicit corrector that replaces each column's depth-mean velocity with the
-    subcycle average."""
+    subcycle average.
+
+    ``spmd`` may be a 1-D ``Spmd`` (y mesh) or a 2-D ``Spmd2D`` ((x, y) mesh with the
+    fold-aware strip gather) — the same dispatch as the single-layer step. All layer
+    planes of all prognostics fill in ONE batched exchange (one collective pair per
+    direction for the whole (3-4)·Nz-plane stack)."""
     g = model.grid
     m = model.baro
     ge = m.grid_ext
+    nz = model.nz
     dt = jnp.asarray(dt, model.dtype)
 
-    u = _fill3(model, state.u, FC, -1, spmd)
-    v = _fill3(model, state.v, CF, -1, spmd)
-    c = _fill3(model, state.c, CC, 1, spmd)
-    b = _fill3(model, state.b, CC, 1, spmd) if model.buoyancy else state.b
+    # one batched fill for every baroclinic prognostic plane
+    planes = [state.u, state.v, state.c] + ([state.b] if model.buoyancy else [])
+    locs = [FC] * nz + [CF] * nz + [CC] * nz * (2 if model.buoyancy else 1)
+    signs = [-1] * nz + [-1] * nz + [1] * nz * (2 if model.buoyancy else 1)
+    SB = _fill_batch(g, jnp.concatenate(planes, axis=0), locs, signs, spmd)
+    u, v, c = SB[:nz], SB[nz : 2 * nz], SB[2 * nz : 3 * nz]
+    b = SB[3 * nz :] if model.buoyancy else state.b
 
     # free-surface fields exchanged early (overlappable with the tendency stencils)
-    if spmd is None or spmd.n_shards == 1:
-        eta_f = zipper.fill_halos(state.eta, CC, 1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
-        U_f = zipper.fill_halos(state.U, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
-        V_f = zipper.fill_halos(state.V, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
-    else:
-        eta_f = fill_halos_spmd(state.eta, CC, 1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
-        U_f = fill_halos_spmd(state.U, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
-        V_f = fill_halos_spmd(state.V, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
+    SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
+                      [CC, FC, CF], [1, -1, -1], spmd)
+    eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
 
     Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b)
 
@@ -472,12 +474,8 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
     GVb = jnp.sum(Gv_s * model.dzv, axis=0)
     GU0 = embed_ext(g, ge, GUb)
     GV0 = embed_ext(g, ge, GVb)
-    if spmd is None or spmd.n_shards == 1:
-        GU_f = zipper.fill_halos(GU0, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
-        GV_f = zipper.fill_halos(GV0, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, xp=jnp)
-    else:
-        GU_f = fill_halos_spmd(GU0, FC, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
-        GV_f = fill_halos_spmd(GV0, CF, -1, ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd)
+    SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
+    GU_f, GV_f = SG[0], SG[1]
 
     n_sub = int(m.weights.shape[0])
     eta_a, U_a, V_a = barotropic_substeps(

@@ -28,7 +28,8 @@ from ..models.hydrostatic import HydrostaticModel, State
 from ..ops.spmd2d import Spmd2D
 from . import layouts
 
-__all__ = ["make_mesh2d", "distribute2d", "gather_state2d", "sharded_step_fn2d"]
+__all__ = ["make_mesh2d", "distribute2d", "gather_state2d", "sharded_step_fn2d",
+           "distribute_layered2d", "gather_layered_state2d", "sharded_layered_step_fn2d"]
 
 
 def make_mesh2d(n_x: int, n_y: int, devices=None) -> Mesh:
@@ -58,19 +59,18 @@ def _pspec_for(leaf):
     return P()
 
 
-def distribute2d(model: HydrostaticModel, state: State, mesh: Mesh):
-    """Partition a serial (decomposition='2d') model+state onto an (x, y) mesh."""
-    n_y, n_x = mesh.devices.shape
-    g, ge = model.grid, model.grid_ext
+def _check_divisibility(g, ge, n_y, n_x):
     if g.Ny % n_y or g.Nx % n_x:
         raise ValueError(f"grid {g.Nx}x{g.Ny} not divisible by mesh {n_x}x{n_y}")
     ny, nx = g.Ny // n_y, g.Nx // n_x
     if nx < ge.Hx or ny < ge.Hy:
         raise ValueError(
             f"local block {nx}x{ny} must cover the extended halos {ge.Hx}x{ge.Hy}")
+    return ny, nx
 
-    def repart2(a, Hy_k, Hx_k):
-        return _partition_blocks(a, n_y, n_x, ny, nx, Hy_k, Hx_k)
+
+def _repartition_tree2d(tree, n_y, n_x, ny, nx, g, ge):
+    """Tag-driven serial -> 2-D block layout conversion (see parallel/layouts.py)."""
 
     def repartition(path, leaf):
         # layout by registered leaf name (parallel/layouts.py), never by shape
@@ -85,31 +85,44 @@ def distribute2d(model: HydrostaticModel, state: State, mesh: Mesh):
                 raise ValueError(
                     f"leaf {jax.tree_util.keystr(path)} tagged {tag!r} has shape "
                     f"{a.shape}, layout expects {(rows, cols)}")
-            return repart2(a, Hy_k, Hx_k)
+            return _partition_blocks(a, n_y, n_x, ny, nx, Hy_k, Hx_k)
         if a.shape[1] < rows or a.shape[2] < cols:
             raise ValueError(
                 f"3-D leaf {jax.tree_util.keystr(path)} tagged {tag!r} has planes "
                 f"{a.shape[1:]}, layout expects >= {(rows, cols)}")
         # slice off Pallas alignment padding; per-shard kernels rebuild their own
         trimmed = a[:, :rows, :cols]
-        return np.stack([repart2(trimmed[k], Hy_k, Hx_k) for k in range(a.shape[0])])
+        return np.stack([_partition_blocks(trimmed[k], n_y, n_x, ny, nx, Hy_k, Hx_k)
+                         for k in range(a.shape[0])])
 
-    dist_model = jax.tree_util.tree_map_with_path(repartition, model)
-    dist_state = jax.tree_util.tree_map_with_path(repartition, state)
+    return jax.tree_util.tree_map_with_path(repartition, tree)
+
+
+def _put(tree, mesh):
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, _pspec_for(leaf))), tree)
+
+
+def distribute2d(model: HydrostaticModel, state: State, mesh: Mesh):
+    """Partition a serial (decomposition='2d') model+state onto an (x, y) mesh."""
+    n_y, n_x = mesh.devices.shape
+    g, ge = model.grid, model.grid_ext
+    ny, nx = _check_divisibility(g, ge, n_y, n_x)
+
+    dist_model = _repartition_tree2d(model, n_y, n_x, ny, nx, g, ge)
+    dist_state = _repartition_tree2d(state, n_y, n_x, ny, nx, g, ge)
 
     local_grid = dataclasses.replace(dist_model.grid, Nx=nx, Ny=ny)
     local_grid_ext = dataclasses.replace(dist_model.grid_ext, Nx=nx, Ny=ny)
     dist_model = dataclasses.replace(dist_model, grid=local_grid, grid_ext=local_grid_ext)
 
-    put = lambda tree: jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, _pspec_for(leaf))), tree)
-    return put(dist_model), put(dist_state)
+    return _put(dist_model, mesh), _put(dist_state, mesh)
 
 
-def gather_state2d(dist_state: State, model_serial: HydrostaticModel, mesh: Mesh) -> State:
-    """Reassemble a serial-layout State (interiors only; halos refresh on next fill)."""
+def _gather_tree2d(dist_tree, mesh: Mesh, g, ge):
+    """Tag-driven 2-D block layout -> serial conversion (interiors only; halos
+    refresh on next fill)."""
     n_y, n_x = mesh.devices.shape
-    g, ge = model_serial.grid, model_serial.grid_ext
     ny, nx = g.Ny // n_y, g.Nx // n_x
 
     def unpart(a, Hy_k, Hx_k, Yg, Xg):
@@ -135,7 +148,12 @@ def gather_state2d(dist_state: State, model_serial: HydrostaticModel, mesh: Mesh
                 [unpart(a[k], Hy_k, Hx_k, Yg, Xg) for k in range(a.shape[0])]))
         return jnp.asarray(unpart(a, Hy_k, Hx_k, Yg, Xg))
 
-    return jax.tree_util.tree_map_with_path(conv, dist_state)
+    return jax.tree_util.tree_map_with_path(conv, dist_tree)
+
+
+def gather_state2d(dist_state: State, model_serial: HydrostaticModel, mesh: Mesh) -> State:
+    """Reassemble a serial-layout State (interiors only; halos refresh on next fill)."""
+    return _gather_tree2d(dist_state, mesh, model_serial.grid, model_serial.grid_ext)
 
 
 def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int):
@@ -155,6 +173,59 @@ def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int):
             # see parallel/distributed.py: the vma checker rejects Pallas out_shapes,
             # so it is off only when the Pallas path is actually in the trace
             check_vma=not dist_model.use_pallas,
+        )
+        return fn(dist_model, dist_state, dt)
+
+    return jax.jit(run)
+
+
+# --------------------------------------------------------------------------------------
+# Layered (Nz > 1) model over the 2-D (x, y) mesh — the same tag-driven conversion;
+# 3-D (Nz, y, x) leaves are block-partitioned per layer plane
+# --------------------------------------------------------------------------------------
+
+def distribute_layered2d(model, state, mesh: Mesh):
+    """Partition a layered model+state onto an (x, y) mesh (the 2-D analog of
+    parallel/distributed.distribute_layered)."""
+    n_y, n_x = mesh.devices.shape
+    g, ge = model.grid, model.baro.grid_ext
+    ny, nx = _check_divisibility(g, ge, n_y, n_x)
+
+    dist_model = _repartition_tree2d(model, n_y, n_x, ny, nx, g, ge)
+    dist_state = _repartition_tree2d(state, n_y, n_x, ny, nx, g, ge)
+
+    local_baro = dataclasses.replace(
+        dist_model.baro,
+        grid=dataclasses.replace(dist_model.baro.grid, Nx=nx, Ny=ny),
+        grid_ext=dataclasses.replace(dist_model.baro.grid_ext, Nx=nx, Ny=ny),
+    )
+    dist_model = dataclasses.replace(dist_model, baro=local_baro)
+    return _put(dist_model, mesh), _put(dist_state, mesh)
+
+
+def gather_layered_state2d(dist_state, model_serial, mesh: Mesh):
+    """Reassemble a serial-layout LayeredState from the 2-D block layout."""
+    return _gather_tree2d(dist_state, mesh, model_serial.grid,
+                          model_serial.baro.grid_ext)
+
+
+def sharded_layered_step_fn2d(mesh: Mesh, dist_model, nx_global: int):
+    """Jitted shard_map-wrapped 2-D layered step: (state, dt) -> state."""
+    from ..models import layered as lay
+
+    n_y, n_x = mesh.devices.shape
+    spmd = Spmd2D(axis_x="x", axis_y="y", n_x=n_x, n_y=n_y, nx_global=nx_global)
+    model_specs = jax.tree_util.tree_map(_pspec_for, dist_model)
+
+    def run(dist_state, dt):
+        state_specs = jax.tree_util.tree_map(_pspec_for, dist_state)
+        fn = jax.shard_map(
+            partial(lay.layered_step, spmd=spmd),
+            mesh=mesh,
+            in_specs=(model_specs, state_specs, P()),
+            out_specs=state_specs,
+            # see parallel/distributed.py: checker off only when Pallas is traced
+            check_vma=not dist_model.baro.use_pallas,
         )
         return fn(dist_model, dist_state, dt)
 

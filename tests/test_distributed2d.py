@@ -67,3 +67,60 @@ def test_2d_rejects_bad_geometry():
     model, state = model_2d(nx=48, ny=32)
     with pytest.raises(ValueError):
         distribute2d(model, state, make_mesh2d(5, 1))
+
+
+@pytest.mark.parametrize("nx_mesh,ny_mesh", [(2, 4), (4, 2)])
+def test_2d_layered_matches_serial(nx_mesh, ny_mesh):
+    """The 2-D-sharded LAYERED step (fold-aware strip gather broadcast over the layer
+    axis, batched one-exchange fills) must reproduce the serial layered step on every
+    interior point, buoyancy included."""
+    from orthogonalsphericalshellgrids_tpu.models import (
+        layered_initial_state, layered_step, make_layered_model,
+    )
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute_layered2d, gather_layered_state2d, sharded_layered_step_fn2d,
+    )
+
+    grid = osg.TripolarGrid.make((48, 32, 3), dtype=jnp.float64, z=(-1000.0, 0.0),
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, -1000.0)
+
+    model = make_layered_model(grid, free_surface=SplitExplicitFreeSurface(substeps=6),
+                               bottom_height=bottom, buoyancy=True)
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi, z: 0.05 * np.sin(np.deg2rad(lam) * 3),
+        c=lambda lam, phi, z: np.sin(2 * np.pi * np.deg2rad(phi) * 8 / 167.0),
+        b=lambda lam, phi, z: 1e-5 * z + 1e-4 * np.sin(np.deg2rad(lam)),
+    )
+
+    from orthogonalsphericalshellgrids_tpu.models import layered_step as lstep
+
+    mesh = make_mesh2d(nx_mesh, ny_mesh)
+    dist_model, dist_state = distribute_layered2d(model, state, mesh)
+    fn = sharded_layered_step_fn2d(mesh, dist_model, model.grid.Nx)
+
+    ss, ds = state, dist_state
+    sj = jax.jit(lstep)
+    for _ in range(3):
+        ss = sj(model, ss, 60.0)
+        ds = fn(ds, 60.0)
+
+    got = gather_layered_state2d(ds, model, mesh)
+    g = model.grid
+    I3 = (slice(None),) + g.interior2d
+    for name in ("u", "v", "c", "b"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)[I3]), np.asarray(getattr(ss, name)[I3]),
+            rtol=0, atol=1e-13, err_msg=name)
+    ge = model.baro.grid_ext
+    np.testing.assert_allclose(np.asarray(ge.interior(got.eta)),
+                               np.asarray(ge.interior(ss.eta)), rtol=0, atol=1e-13)
