@@ -3,8 +3,8 @@
 Ports of the reference's unit/property tests (SURVEY.md §4):
 - construction properties for Float32/Float64 (test/runtests.jl:8-41)
 - README correctness anchor for the 60x30x1 grid (README.md:55-59)
-- orthogonality of the Murray mapping (test/test_tripolar_grid.jl:36-76; the
-  cubed-sphere comparison oracle is replaced by an absolute bound measured from it)
+- orthogonality of the Murray mapping vs the conformal cubed-sphere panel oracle
+  (test/test_tripolar_grid.jl:36-76; panel built by grids/cubed_sphere.py)
 """
 
 import numpy as np
@@ -13,6 +13,9 @@ import pytest
 import jax.numpy as jnp
 
 from orthogonalsphericalshellgrids_tpu import TripolarGrid, build_tripolar_arrays, with_halo
+from orthogonalsphericalshellgrids_tpu.grids.cubed_sphere import (
+    conformal_cubed_sphere_coordinates, conformal_panel_nodes, nonorthogonality_angle,
+)
 from orthogonalsphericalshellgrids_tpu.grids.geometry import lat_lon_to_cartesian
 
 
@@ -130,11 +133,33 @@ def test_area_metric_consistency():
     assert np.all(np.abs(r - 1.0) < 0.02), (r.min(), r.max())
 
 
+def test_conformal_cubed_sphere_map():
+    """Analytic invariants of the Rancic (1996) conformal map backing the oracle:
+    face centre -> pole, corners -> cube corners, edge midpoints -> edge-arc
+    midpoints, unit norm everywhere, and near-perfect conformality away from the
+    corners (the discrete angle defect of a conformal map vanishes with h)."""
+    X, Y, Z = conformal_cubed_sphere_coordinates(
+        np.array([0.0, 1.0, -1.0, 1.0, 0.0]), np.array([0.0, 1.0, -1.0, 0.0, -1.0])
+    )
+    s3, s2 = 1 / np.sqrt(3.0), 1 / np.sqrt(2.0)
+    np.testing.assert_allclose([X[0], Y[0], Z[0]], [0, 0, 1], atol=1e-12)
+    np.testing.assert_allclose([X[1], Y[1], Z[1]], [s3, s3, s3], atol=1e-12)
+    np.testing.assert_allclose([X[2], Y[2], Z[2]], [-s3, -s3, s3], atol=1e-12)
+    # edge midpoints are exact up to the 30-term series truncation (~1e-4)
+    np.testing.assert_allclose([X[3], Y[3], Z[3]], [s2, 0, s2], atol=5e-4)
+    np.testing.assert_allclose([X[4], Y[4], Z[4]], [0, -s2, s2], atol=5e-4)
+    Xp, Yp, Zp = conformal_panel_nodes(32)
+    np.testing.assert_allclose(Xp**2 + Yp**2 + Zp**2, 1.0, atol=1e-12)
+    ang = nonorthogonality_angle(Xp, Yp, Zp)
+    assert np.max(np.abs(ang[8:-8, 8:-8])) < 1.0  # interior: conformal
+
+
 def test_orthogonality():
-    """Port of test/test_tripolar_grid.jl:36-76. The reference compares against a
-    ConformalCubedSphereGrid panel oracle whose non-orthogonality angle spans roughly
-    ±0.6 deg away from panel corners; here we pin absolute bounds measured against it: away from the
-    three singularities the non-orthogonality stays within ±2 deg with ~0 median."""
+    """Port of test/test_tripolar_grid.jl:36-76, including the comparison oracle: a
+    1-degree conformal cubed-sphere panel (grids/cubed_sphere.py, Rancic 1996 map).
+    The tripolar mesh's non-orthogonality angle — singularities masked as in the
+    reference — must lie strictly inside the panel's corner-excluded range
+    (test/test_tripolar_grid.jl:74-75)."""
     first_pole_longitude = 75.0
     north_poles_latitude = 35.0
     raw = build_tripolar_arrays(
@@ -166,13 +191,18 @@ def test_orthogonality():
         ((np.abs(lam_c - first_pole_longitude) < 5) & (np.abs(phi_c - north_poles_latitude) < 5))
         | ((np.abs(lam_c - second_pole) < 5) & (np.abs(phi_c - north_poles_latitude) < 5))
         | (phi_c < -78)
-        | (phi_c > 89)  # exclude the row adjacent to the fold seam itself
     )
     masked = np.where(near_sing, 0.0, angle)
-    # The reference's oracle is a 1-degree cubed-sphere panel whose corner-excluded
-    # non-orthogonality exceeds 2 degrees; the tripolar mesh must sit strictly inside
-    # that. Observed max here is ~1.6 deg right at the mask edge, median ~0.
-    assert np.max(np.abs(masked)) < 2.0, np.max(np.abs(masked))
+
+    # Oracle: 90x90 conformal cubed-sphere panel, corners excluded exactly as the
+    # reference's KernelParameters(5:Nx-5, 5:Ny-5) (test/test_tripolar_grid.jl:48).
+    Xp, Yp, Zp = conformal_panel_nodes(90)
+    angle_cs = nonorthogonality_angle(Xp, Yp, Zp)[4:85, 4:85]
+
+    # test/test_tripolar_grid.jl:74-75 — strictly inside the oracle's range.
+    # (Measured: tripolar (-1.61, +0.92) vs panel (-1.66, +2.21).)
+    assert np.max(masked) < np.max(angle_cs), (np.max(masked), np.max(angle_cs))
+    assert np.min(masked) > np.min(angle_cs), (np.min(masked), np.min(angle_cs))
     assert np.median(np.abs(masked)) < 0.5
 
 
