@@ -29,6 +29,10 @@ def main():
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--dt", type=float, default=120.0)
     p.add_argument("--platform", default=None)
+    p.add_argument("--output", default=None,
+                   help="base filename for per-shard dumps (<stem>.rank<k>.npz, "
+                        "the reference's per-rank files, "
+                        "examples/distributed_bickley_jet.jl:83-87); 1-D decomposition")
     args = p.parse_args()
 
     import os
@@ -70,6 +74,14 @@ def main():
         gather = lambda s: gather_state(s, model, args.ndev)
         n_total = args.ndev
 
+    writer = None
+    if args.output:
+        if args.decomp != "1d":
+            raise SystemExit("--output per-shard dumps follow the 1-D decomposition")
+        from orthogonalsphericalshellgrids_tpu.utils.output import ShardedOutputWriter
+
+        writer = ShardedOutputWriter(args.output, {}, dist_model)
+
     s = fn(dist_state, args.dt)  # compile
     jax.block_until_ready(s)
     t0 = time.time()
@@ -79,6 +91,9 @@ def main():
             g = gather(s)
             umax, vmax = max_speeds(model, g)
             print(f"iter {i+1}: velocity {float(umax):.2e} {float(vmax):.2e}")
+            if writer is not None:  # each shard's interior, no global gather
+                writer.write((i + 1) * args.dt, {"u": s.u, "v": s.v, "c": s.c,
+                                                 "eta": s.eta})
     jax.block_until_ready(s)
     el = time.time() - t0
     print(f"{args.steps} steps on {n_total} devices ({args.decomp}): {el:.2f}s "

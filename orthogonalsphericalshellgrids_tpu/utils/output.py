@@ -14,6 +14,7 @@ compute — the double-buffered output path of a production run.
 
 from __future__ import annotations
 
+import glob
 import os
 import queue
 import threading
@@ -22,7 +23,17 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["OutputWriter", "FieldTimeSeries"]
+__all__ = ["OutputWriter", "ShardedOutputWriter", "FieldTimeSeries"]
+
+
+def _append_snapshot(filename: str, k: int, t: float, arrs: dict, compression) -> None:
+    """Append one snapshot (all fields + the time stamp) to a zip-of-npy archive."""
+    with zipfile.ZipFile(filename, "a", compression=compression) as z:
+        for name, arr in arrs.items():
+            with z.open(f"{name}.{k:06d}.npy", "w") as f:
+                np.lib.format.write_array(f, np.ascontiguousarray(arr))
+        with z.open(f"times.{k:06d}.npy", "w") as f:
+            np.lib.format.write_array(f, np.asarray(t))
 
 
 class OutputWriter:
@@ -87,12 +98,7 @@ class OutputWriter:
 
     def _write(self, job) -> None:
         k, t, arrs = job
-        with zipfile.ZipFile(self.filename, "a", compression=self._compression) as z:
-            for name, arr in arrs.items():
-                with z.open(f"{name}.{k:06d}.npy", "w") as f:
-                    np.lib.format.write_array(f, np.ascontiguousarray(arr))
-            with z.open(f"times.{k:06d}.npy", "w") as f:
-                np.lib.format.write_array(f, np.asarray(t))
+        _append_snapshot(self.filename, k, t, arrs, self._compression)
 
     def _drain(self) -> None:
         while True:
@@ -127,12 +133,101 @@ class OutputWriter:
     flush = close  # backward-compatible alias
 
 
+class ShardedOutputWriter:
+    """Per-shard field dumps for distributed runs (SURVEY.md O11's distributed half —
+    the reference writes one JLD2 file per MPI rank,
+    examples/distributed_bickley_jet.jl:83-87).
+
+    Each snapshot writes one archive per shard, ``<stem>.rank<k><ext>``, holding only
+    that shard's interior block pulled from its *addressable* device shard — the
+    global array is never materialized on the host. On a real multi-host pod each
+    controller sees (and writes) only its own devices' shards, so output IO scales
+    with the number of hosts. ``FieldTimeSeries`` stitches the rank files back into
+    global interiors transparently.
+
+    ``outputs`` maps name -> callable(sim) -> *sharded* jax array in the distributed
+    stacked layout (parallel/distributed.py: per-shard halo-inclusive row blocks);
+    ``dist_model`` supplies the local-size metadata used to crop each block to its
+    interior. ``write(t, arrays)`` is the direct entry point for hand-rolled loops.
+    """
+
+    def __init__(self, filename: str, outputs: dict[str, Callable], dist_model,
+                 overwrite_existing: bool = True, compress: bool = True):
+        self.outputs = outputs
+        self.dist_model = dist_model
+        self._compression = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+        stem, ext = os.path.splitext(filename)
+        self._stem, self._ext = stem, ext or ".npz"
+        self._count = 0
+        existing = sorted(glob.glob(f"{stem}.rank*{self._ext}"))
+        if overwrite_existing:
+            for f in existing:
+                os.remove(f)
+        elif existing:
+            with zipfile.ZipFile(existing[0]) as z:
+                idx = [int(n.split(".")[-2]) for n in z.namelist()
+                       if n.startswith("times.") and n.endswith(".npy")]
+            self._count = max(idx) + 1 if idx else 0
+
+    def rank_filename(self, k: int) -> str:
+        return f"{self._stem}.rank{k}{self._ext}"
+
+    def __call__(self, sim) -> None:
+        self.write(float(sim.time), {name: fn(sim) for name, fn in self.outputs.items()})
+
+    def write(self, t: float, arrays: dict) -> None:
+        """Append one snapshot: crop every addressable shard's block to its interior
+        and append it to that shard's archive."""
+        g = self.dist_model.grid  # local metadata: Ny is the per-shard row count
+        per_rank: dict[int, dict] = {}
+        for name, a in arrays.items():
+            for shard in a.addressable_shards:
+                block = np.asarray(shard.data)
+                row_axis = block.ndim - 2
+                start = shard.index[row_axis].start or 0
+                block_rows = block.shape[row_axis]
+                k = start // block_rows
+                # halo widths fall out of the block arithmetic exactly: a base-halo
+                # leaf has block_rows = ny + 2*Hy, an extended-halo leaf
+                # ny + 2*Hy_ext — either way the interior is the centered ny rows.
+                hy = (block_rows - g.Ny) // 2
+                hx = (block.shape[-1] - g.Nx) // 2
+                sl = [slice(None)] * block.ndim
+                sl[row_axis] = slice(hy, hy + g.Ny)
+                sl[-1] = slice(hx, hx + g.Nx)
+                per_rank.setdefault(k, {})[name] = block[tuple(sl)]
+        for k, arrs in sorted(per_rank.items()):
+            _append_snapshot(self.rank_filename(k), self._count, t, arrs,
+                             self._compression)
+        self._count += 1
+
+    def close(self) -> None:  # symmetric with OutputWriter for Simulation draining
+        pass
+
+
 class FieldTimeSeries:
     """Reader for OutputWriter dumps (the reference's FieldTimeSeries,
     examples/bickley_jet.jl:92-93): ``fts = FieldTimeSeries(path, "c")``;
-    ``fts.times``, ``fts[i]``, ``len(fts)``."""
+    ``fts.times``, ``fts[i]``, ``len(fts)``.
+
+    Also reads ShardedOutputWriter output: pass the base filename (no ``.rank<k>``)
+    and the per-rank interiors are stitched along the row axis in rank order."""
 
     def __init__(self, filename: str, name: str):
+        if not os.path.exists(filename):
+            stem, ext = os.path.splitext(filename)
+            ranks = sorted(glob.glob(f"{stem}.rank*{ext or '.npz'}"),
+                           key=lambda f: int(f[len(stem) + 5 : -len(ext or '.npz')]))
+            if not ranks:
+                raise FileNotFoundError(filename)
+            parts = [FieldTimeSeries(f, name) for f in ranks]
+            self.times = parts[0].times
+            for p in parts[1:]:
+                np.testing.assert_allclose(p.times, self.times, err_msg=(
+                    "per-rank archives have mismatched snapshot times"))
+            # stacked per-rank interiors -> global interior rows
+            self._data = np.concatenate([p._data for p in parts], axis=-2)
+            return
         with np.load(filename) as data:
             tkeys = sorted(k for k in data.files if k.startswith("times."))
             self.times = np.asarray([float(data[k]) for k in tkeys])

@@ -240,3 +240,79 @@ def test_overlap_split_bitwise(forcing):
             np.asarray(g.interior(getattr(ga, name))),
             np.asarray(g.interior(getattr(gb, name))),
             rtol=1e-11, atol=0, err_msg=name)
+
+
+def test_per_shard_output_and_stitch(tmp_path):
+    """ShardedOutputWriter writes each shard's interior from its addressable device
+    shard (no host gather of the global array — SURVEY O11's distributed half,
+    reference examples/distributed_bickley_jet.jl:83-87); FieldTimeSeries stitches
+    the rank files back to the global interior, matching the gathered state."""
+    from orthogonalsphericalshellgrids_tpu.utils.output import (
+        FieldTimeSeries, ShardedOutputWriter)
+
+    model, state = small_model()
+    n = 4
+    mesh = make_mesh(n)
+    dist_model, dist_state = distribute(model, state, mesh)
+    fn = sharded_step_fn(mesh, dist_model)
+
+    base = str(tmp_path / "dist_run.npz")
+    writer = ShardedOutputWriter(base, {}, dist_model)
+
+    s = dist_state
+    times = []
+    for i in range(3):
+        s = fn(s, 120.0)
+        t = 120.0 * (i + 1)
+        times.append(t)
+        writer.write(t, {"c": s.c, "eta": s.eta})  # base- and extended-halo leaves
+
+    # one archive per rank exists; none at the base name (nothing was gathered)
+    import os
+    assert not os.path.exists(base)
+    for k in range(n):
+        assert os.path.exists(writer.rank_filename(k)), k
+
+    # per-rank shape: local interior
+    part = FieldTimeSeries(writer.rank_filename(1), "c")
+    assert part[0].shape == (model.grid.Ny // n, model.grid.Nx)
+
+    # stitched global interiors match the gathered state exactly
+    gathered = gather_state(s, model, n)
+    for name, grid_of in [("c", model.grid), ("eta", model.grid_ext)]:
+        fts = FieldTimeSeries(base, name)
+        np.testing.assert_allclose(fts.times, times)
+        np.testing.assert_array_equal(
+            fts[-1], np.asarray(grid_of.interior(getattr(gathered, name))),
+            err_msg=name)
+
+
+def test_sharded_checkpoint_round_trip(tmp_path):
+    """Orbax checkpoint of a *sharded* state: save and restore keep the
+    NamedSharding (no host gather round-trip) and the values, so a distributed run
+    resumes in place."""
+    import jax
+
+    from orthogonalsphericalshellgrids_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    model, state = small_model()
+    n = 4
+    mesh = make_mesh(n)
+    dist_model, dist_state = distribute(model, state, mesh)
+    fn = sharded_step_fn(mesh, dist_model)
+    s = fn(dist_state, 120.0)
+
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint(path, s)
+    restored = load_checkpoint(path, like=jax.tree_util.tree_map(jnp.zeros_like, s))
+
+    for name in ("u", "v", "c", "eta"):
+        orig = getattr(s, name)
+        back = getattr(restored, name)
+        assert back.sharding.is_equivalent_to(orig.sharding, orig.ndim), name
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(orig), err_msg=name)
+
+    # the restored state steps identically to the original
+    np.testing.assert_array_equal(
+        np.asarray(fn(restored, 120.0).u), np.asarray(fn(s, 120.0).u))
