@@ -115,6 +115,67 @@ def _murray_mapping(lam1d, phi1d, Nx, focal_distance, first_pole_longitude):
     return lam2, phi2
 
 
+def newton_phi_nodes(southernmost_latitude, Ny, spacing, tol=1e-12, max_iter=50):
+    """Jitted Newton shooting solve for a prescribed latitude-spacing law.
+
+    The reference snapshot places the cofocal-ellipse family at uniformly spaced
+    latitudes (``src/tripolar_grid.jl:95-97``) — the *explicit* Murray (1996)
+    construction, which needs no iteration by design (docs/grids.md discusses why).
+    Production tripolar meshes (the ORCA family) instead prescribe a variable
+    resolution law Δφ ∝ f(φ) (e.g. equatorial refinement); placing Ny rows between
+    ``southernmost_latitude`` and 90 under such a law is a two-point problem: march
+    ``φ_{j+1} = φ_j + s·f(φ_j + s·f(φ_j)/2)`` (midpoint rule) and find the scale
+    ``s`` that lands φ_{Ny-1} = 90 exactly. That scalar root is found here by Newton
+    iteration with the derivative dφ_end/ds computed by jax.grad *through the scan*
+    — the whole solve is one jitted function.
+
+    ``spacing``: positive callable f(φ° in [-90, 90]) -> relative spacing weight
+    (jnp-traceable). Returns float64 numpy centers, phi[0] = southernmost, phi[-1] = 90.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lo, hi = float(southernmost_latitude), 90.0
+
+    with jax.enable_x64(True):  # grid gen is float64 regardless of session dtype
+        def march(s):
+            def body(phi, _):
+                nxt = phi + s * spacing(phi + 0.5 * s * spacing(phi))
+                return nxt, nxt
+            return jax.lax.scan(body, jnp.asarray(lo, jnp.float64), None, length=Ny - 1)
+
+        def g(s):
+            return march(s)[0] - hi
+
+        dg = jax.grad(g)
+
+        @jax.jit
+        def solve(s0):
+            def cond(carry):
+                s, it = carry
+                return (jnp.abs(g(s)) > tol) & (it < max_iter)
+
+            def body(carry):
+                s, it = carry
+                return s - g(s) / dg(s), it + 1
+
+            s, _ = jax.lax.while_loop(cond, body, (s0, 0))
+            return s, march(s)[1]
+
+        # initial scale from the mean weight over the range (uniform-law exact)
+        w = jnp.mean(jax.vmap(spacing)(jnp.linspace(lo, hi, 65, dtype=jnp.float64)))
+        s, interior = solve(jnp.asarray((hi - lo) / ((Ny - 1) * w), jnp.float64))
+        phis = np.concatenate([[lo], np.asarray(interior, dtype=np.float64)])
+
+    # NaN-robust: a degenerate law yields NaN nodes, which must also land here
+    if not (abs(phis[-1] - hi) <= 1e-8 and np.all(np.diff(phis) > 0)):
+        raise ValueError(
+            "phi_spacing Newton solve did not converge to a monotone latitude "
+            f"distribution (endpoint {phis[-1]!r}); is the spacing law positive?")
+    phis[-1] = hi  # pin the pole row exactly (Newton residual <= tol)
+    return phis
+
+
 def _embed_with_halo(interior_yx, Hx, Hy):
     """Embed an interior (Ny, Nx) array into a halo-inclusive array (halo zeroed).
 
@@ -148,6 +209,7 @@ def build_tripolar_arrays(
     north_poles_latitude=55.0,
     first_pole_longitude=70.0,
     backend="auto",
+    phi_spacing=None,
 ):
     """Build all tripolar coordinate/metric arrays in float64 numpy.
 
@@ -170,9 +232,19 @@ def build_tripolar_arrays(
     dlam = 360.0 / Nx
     lamF1 = -180.0 + dlam * np.arange(Nx, dtype=np.float64)
     lamC1 = lamF1 + dlam / 2.0
-    phiC1 = np.linspace(southernmost_latitude, 90.0, Ny)
-    dphi = phiC1[1] - phiC1[0]
-    phiF1 = phiC1 - dphi / 2.0
+    if phi_spacing is None:
+        # uniform latitude placement (src/tripolar_grid.jl:95-97)
+        phiC1 = np.linspace(southernmost_latitude, 90.0, Ny)
+        dphi = phiC1[1] - phiC1[0]
+        phiF1 = phiC1 - dphi / 2.0
+    else:
+        # prescribed-spacing placement via the jitted Newton shooting solve; faces
+        # sit midway between consecutive centers (= the uniform rule when the law
+        # is constant), with the south face extrapolated.
+        phiC1 = newton_phi_nodes(southernmost_latitude, Ny, phi_spacing)
+        phiF1 = np.empty_like(phiC1)
+        phiF1[1:] = 0.5 * (phiC1[1:] + phiC1[:-1])
+        phiF1[0] = phiC1[0] - 0.5 * (phiC1[1] - phiC1[0])
 
     # Murray mapping at the 4 staggered locations; λ1D pairs with x-location, φ1D with
     # y-location (src/generate_tripolar_coordinates.jl:56-59). The native C++/OpenMP
@@ -314,6 +386,7 @@ def build_tripolar_arrays(
         north_poles_latitude=float(north_poles_latitude),
         first_pole_longitude=float(first_pole_longitude),
         z_bounds=(z0, z1),
+        phi_spacing=phi_spacing,
     )
     return out
 
@@ -335,7 +408,7 @@ _META_FIELDS = [
     "Nx", "Ny", "Nz", "Hx", "Hy", "Hz",
     "radius", "Lz", "dz",
     "southernmost_latitude", "north_poles_latitude", "first_pole_longitude",
-    "z_bounds",
+    "z_bounds", "phi_spacing",
 ]
 
 
@@ -365,6 +438,9 @@ class TripolarGrid:
     radius: float; Lz: float; dz: float
     southernmost_latitude: float; north_poles_latitude: float; first_pole_longitude: float
     z_bounds: tuple
+    # optional latitude-spacing law (callable, static): None = uniform placement;
+    # otherwise rows are placed by the jitted Newton shooting solve (newton_phi_nodes)
+    phi_spacing: Any = None
 
     # ---- construction ----
     @staticmethod
@@ -377,6 +453,7 @@ class TripolarGrid:
         north_poles_latitude=55.0,
         first_pole_longitude=70.0,
         dtype=None,
+        phi_spacing=None,
     ):
         """Construct a TripolarGrid; signature mirrors the reference constructor
         (``src/tripolar_grid.jl:59-66``). ``dtype`` plays the role of the reference's
@@ -393,6 +470,7 @@ class TripolarGrid:
             z=z,
             north_poles_latitude=north_poles_latitude,
             first_pole_longitude=first_pole_longitude,
+            phi_spacing=phi_spacing,
         )
         meta = raw.pop("meta")
         # Ship all 2-D arrays as ONE stacked host->device transfer and split with ONE
@@ -483,4 +561,5 @@ def with_halo(grid: TripolarGrid, new_halo) -> TripolarGrid:
         north_poles_latitude=grid.north_poles_latitude,
         first_pole_longitude=grid.first_pole_longitude,
         dtype=grid.dtype,
+        phi_spacing=grid.phi_spacing,
     )

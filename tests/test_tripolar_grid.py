@@ -220,3 +220,51 @@ def test_with_halo_reconstruction():
     np.testing.assert_array_equal(
         np.asarray(g1.interior(g1.dy_cf))[1:], np.asarray(g2.interior(g2.dy_cf))[1:]
     )
+
+
+def test_newton_phi_spacing():
+    """Opt-in Newton latitude placement (BASELINE north star: "jitted Newton solve").
+    A constant law reproduces the reference's uniform placement exactly; an
+    equatorial-refinement law (the production ORCA-style use) halves the equatorial
+    spacing relative to the poles with exact endpoints; the resulting mesh is still
+    a cofocal family, so its non-orthogonality stays inside the cubed-sphere oracle."""
+    from orthogonalsphericalshellgrids_tpu.grids.tripolar import newton_phi_nodes
+
+    # constant law == uniform placement (and the default path has no law at all)
+    ph = newton_phi_nodes(-80.0, 31, lambda p: 1.0 + 0.0 * p)
+    np.testing.assert_allclose(ph, np.linspace(-80.0, 90.0, 31), atol=1e-10)
+    assert TripolarGrid.make((8, 6, 1)).phi_spacing is None
+
+    law = lambda p: 1.0 - 0.5 * jnp.exp(-((p / 15.0) ** 2))
+    ph = newton_phi_nodes(-80.0, 61, law)
+    assert ph[0] == -80.0 and ph[-1] == 90.0
+    d = np.diff(ph)
+    assert np.all(d > 0)
+    ratio = d[np.abs(ph[:-1]).argmin()] / d[-1]
+    np.testing.assert_allclose(ratio, 0.5, rtol=1e-3)
+
+    # a non-positive law cannot reach the pole monotonically
+    with pytest.raises(ValueError):
+        newton_phi_nodes(-80.0, 31, lambda p: 0.0 * p)
+
+    # the refined grid's rows still ride the same cofocal family: non-orthogonality
+    # stays strictly inside the conformal cubed-sphere panel's (as in
+    # test_orthogonality, which pins the uniform grid)
+    raw = build_tripolar_arrays((360, 180, 1), first_pole_longitude=75.0,
+                                north_poles_latitude=35.0, phi_spacing=law)
+    m = raw["meta"]
+    lam = raw["lam_ff"][m["Hy"]:-m["Hy"], m["Hx"]:-m["Hx"]]
+    phi = raw["phi_ff"][m["Hy"]:-m["Hy"], m["Hx"]:-m["Hx"]]
+    x, y, z = lat_lon_to_cartesian(phi, lam, 1.0, xp=np)
+    ang = nonorthogonality_angle(x, y, z)
+    lam_c, phi_c = lam[:-1, :-1], phi[:-1, :-1]
+    # the reference's 5-deg singularity mask is resolution-matched to its uniform
+    # 1-deg grid; the refined mesh is ~8% coarser at the pole latitude (rows moved
+    # to the equator), so the masked radius scales with the local spacing (5 -> 5.5)
+    sing = (((np.abs(lam_c - 75.0) < 5.5) & (np.abs(35.0 - phi_c) < 5.5))
+            | ((np.abs(lam_c - 255.0) < 5.5) & (np.abs(35.0 - phi_c) < 5.5))
+            | (phi_c < -78))
+    masked = np.where(sing, 0.0, ang)
+    Xp, Yp, Zp = conformal_panel_nodes(90)
+    cs = nonorthogonality_angle(Xp, Yp, Zp)[4:85, 4:85]
+    assert np.max(masked) < np.max(cs) and np.min(masked) > np.min(cs)
