@@ -101,8 +101,6 @@ class HydrostaticModel:
     weights: Any
     # stacked barotropic operands for the Pallas time-tiled kernel (9, Ye, Xe)
     baro_pack: Any
-    # stacked static operands for the fused Pallas tendency kernel (15, Yb, Xb)
-    tend_pack: Any
     # coriolis frequency at FF points (0 array when disabled)
     f_ff: Any
     # kinematic surface wind stress at u/v points (0 arrays when disabled)
@@ -132,7 +130,7 @@ _MODEL_ARRAYS = [
     "grid", "grid_ext", "ib",
     "inv_dx_fc", "inv_dy_cf", "inv_az_ff", "inv_vol_c",
     "inv_dx_fc_e", "inv_dy_cf_e", "inv_az_cc_e", "dy_fc_e", "dx_cf_e",
-    "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "tend_pack", "f_ff",
+    "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "f_ff",
     "taux", "tauy",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
@@ -264,8 +262,7 @@ def make_model(
     @jax.jit
     def _derived(g_dx_fc, g_dy_cf, g_az_ff, g_az_cc, h_c, mask_c,
                  ge_dx_fc, ge_dy_cf, ge_az_cc, phi_ff,
-                 ge_dy_fc, ge_dx_cf, h_u_e, h_v_e, mask_u_e, mask_v_e,
-                 g_dy_cf2, g_dx_cf, g_dy_fc, h_u, h_v, mask_u, mask_v):
+                 ge_dy_fc, ge_dx_cf, h_u_e, h_v_e, mask_u_e, mask_v_e):
         f_ff = (
             2.0 * rotation_rate * jnp.sin(jnp.deg2rad(phi_ff))
             if coriolis else jnp.zeros_like(phi_ff)
@@ -287,24 +284,17 @@ def make_model(
         inv_dy_cf = _inv(g_dy_cf)
         inv_az_ff = _inv(g_az_ff)
         inv_vol_c = mask_c * _inv(g_az_cc * h_c)
-        # static operands for the fused tendency kernel (ops/pallas_tend.py;
-        # TEND_STATIC_PLANES order)
-        tend_pack = jnp.stack([
-            g_dy_cf2, g_dx_fc, inv_az_ff, g_dx_cf, inv_dx_fc, g_dy_fc, inv_dy_cf,
-            h_u * g_dy_fc, h_v * g_dx_cf, inv_vol_c, mask_u, mask_v, h_u, h_v, f_ff,
-        ])
         return (
             inv_dx_fc, inv_dy_cf, inv_az_ff,
             inv_vol_c,
-            inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack, tend_pack,
+            inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack,
         )
 
     (inv_dx_fc, inv_dy_cf, inv_az_ff, inv_vol_c,
-     inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack, tend_pack) = _derived(
+     inv_dx_fc_e, inv_dy_cf_e, inv_az_cc_e, f_ff, baro_pack) = _derived(
         grid.dx_fc, grid.dy_cf, grid.az_ff, grid.az_cc, ib.h_c, ib.mask_c,
         grid_ext.dx_fc, grid_ext.dy_cf, grid_ext.az_cc, grid.phi_ff,
-        grid_ext.dy_fc, grid_ext.dx_cf, ib_e.h_u, ib_e.h_v, ib_e.mask_u, ib_e.mask_v,
-        grid.dy_cf, grid.dx_cf, grid.dy_fc, ib.h_u, ib.h_v, ib.mask_u, ib.mask_v)
+        grid_ext.dy_fc, grid_ext.dx_cf, ib_e.h_u, ib_e.h_v, ib_e.mask_u, ib_e.mask_v)
 
     if use_pallas is None:
         backend = jax.default_backend()
@@ -350,7 +340,6 @@ def make_model(
         mask_v_e=ib_e.mask_v,
         weights=jnp.asarray(free_surface.weights, dtype=dt),
         baro_pack=baro_pack,
-        tend_pack=tend_pack,
         f_ff=f_ff,
         substeps=free_surface.substeps,
         fractional_dt=float(free_surface.fractional_dt),
@@ -610,7 +599,7 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=No
     return eta_a, U_a, V_a
 
 
-def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
+def step(model: HydrostaticModel, state: State, dt, spmd=None,
          fill_mode=None, overlap=None) -> State:
     """One full time step (reference call stack SURVEY.md §3.4): halo fills, WENO
     tendencies, quasi-AB2 extrapolation, communication-free barotropic subcycling,
@@ -626,17 +615,8 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
     ge = model.grid_ext
     dt = jnp.asarray(dt, model.dtype)
 
-    if tend_pallas is None:
-        # The fused tendency kernel currently loses to the XLA path on v5e (VMEM
-        # pressure at the required window size forces spills); keep it opt-in.
-        tend_pallas = False
-    if (model.wind or model.drag_type != "none" or model.nu_h > 0.0
-            or model.kappa_h > 0.0):
-        tend_pallas = False  # forcing/closure terms live in the XLA tendency path
-    use_tend_pallas = tend_pallas and model.use_pallas
     if overlap is None:
-        overlap = (isinstance(spmd, Spmd) and spmd.n_shards > 1
-                   and not use_tend_pallas)
+        overlap = isinstance(spmd, Spmd) and spmd.n_shards > 1
 
     # Halo-fill mode: per-field for serial runs (the stack/unstack round-trips of the
     # batched path cost ~200 us/step on a v5e at 1/4 degree — measured, see
@@ -672,30 +652,17 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None, tend_pallas=None,
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
     w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
 
-    if use_tend_pallas:
-        from ..ops.pallas_tend import tendencies_pallas
-
-        SBs = SB if not isinstance(SB, tuple) else jnp.stack(SB)
-        dpack_t = jnp.concatenate(
-            [SBs, jnp.stack([state.Gu, state.Gv, state.Gc])], axis=0)
-        Gu, Gv, Gc, GUb, GVb, c_new = tendencies_pallas(
-            model.tend_pack, dpack_t, w1, w2, dt,
-            coriolis=model.coriolis,
-            upwind_q=model.momentum_advection == "weno_vector_invariant",
-            tracer_weno=model.tracer_advection == "weno5",
-        )
+    if overlap:
+        Gu, Gv, Gc, _ = tendencies_overlapped(model, state, spmd)
     else:
-        if overlap:
-            Gu, Gv, Gc, _ = tendencies_overlapped(model, state, spmd)
-        else:
-            u, v, c = SB[0], SB[1], SB[2]
-            Gu, Gv, Gc = tendencies(model, u, v, c)
-        Gu_s = w1 * Gu - w2 * state.Gu
-        Gv_s = w1 * Gv - w2 * state.Gv
-        Gc_s = w1 * Gc - w2 * state.Gc
-        GUb = model.ib.h_u * Gu_s
-        GVb = model.ib.h_v * Gv_s
-        c_new = (state.c + dt * Gc_s) * model.ib.mask_c
+        u, v, c = SB[0], SB[1], SB[2]
+        Gu, Gv, Gc = tendencies(model, u, v, c)
+    Gu_s = w1 * Gu - w2 * state.Gu
+    Gv_s = w1 * Gv - w2 * state.Gv
+    Gc_s = w1 * Gc - w2 * state.Gc
+    GUb = model.ib.h_u * Gu_s
+    GVb = model.ib.h_v * Gv_s
+    c_new = (state.c + dt * Gc_s) * model.ib.mask_c
 
     # fill of the depth-integrated forcing planes (valid through the widened halo
     # rows); eta/U/V were already exchanged above, overlapping the tendency compute
@@ -740,7 +707,7 @@ def compute_cfl_dt(model: HydrostaticModel, state: State, cfl=0.3):
 
 
 def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=None,
-               tend_pallas=None, fill_mode=None, overlap=None) -> State:
+               fill_mode=None, overlap=None) -> State:
     """n_steps time steps in one traced computation (lax.scan).
 
     Amortizes the per-dispatch overhead of a single jitted call across many steps —
@@ -748,7 +715,7 @@ def multi_step(model: HydrostaticModel, state: State, dt, n_steps: int, spmd=Non
     (dt is constant within the scanned block, re-adapted between blocks)."""
 
     def body(s, _):
-        return step(model, s, dt, spmd=spmd, tend_pallas=tend_pallas,
+        return step(model, s, dt, spmd=spmd,
                     fill_mode=fill_mode, overlap=overlap), None
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)

@@ -13,9 +13,8 @@ Index convention (0-based): a face-x located value ``f[..., i]`` sits *between* 
 shifted to 0-based). Likewise in y.
 
 Everything here is pure jnp; XLA fuses the roll/arith chains into the surrounding
-kernels. The Pallas kernels (ops/pallas_baro.py for the barotropic subcycle,
-ops/pallas_tend.py for the fused tendency path) are drop-in replacements for the hot
-compositions.
+kernels. The Pallas barotropic kernel (ops/pallas_baro.py) is a drop-in replacement
+for the hot subcycle composition.
 """
 
 from __future__ import annotations

@@ -64,7 +64,7 @@ def pad_pack(pack, block_rows: int = DEFAULT_BLOCK_ROWS):
 
 def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
             sbuf, dbuf, acc, sem_s, sem_d,
-            *, n_sub, W, B, Ye, Xe, Nx, Hx, wrap=True):
+            *, n_sub, W, B, Ye, Xe, Nx, Hx, wrap=True, acc_window=True):
     p = pl.program_id(0)
     start = jnp.clip(p * B - (W - B) // 2, 0, Ye - W)  # Ye = padded row count
     # B, W, Ye are multiples of 8, so start/off are too — hint Mosaic so the dynamic
@@ -130,23 +130,38 @@ def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
         wrap_cols(U)
         dbuf[V] = Vv - sbuf[C_V] * (eta - rollm_y(eta)) + dbuf[GV]
         wrap_cols(V)
+        # Negative result (kept as an option so it isn't retried): accumulating over
+        # the FULL window with static indexing (acc_window=True, one dynamic slice at
+        # the end) measures within noise of the per-substep dynamic-slice accumulate
+        # below on v5e, while needing 3*(W-B) more accumulator rows of VMEM.
         w = w_ref[m]
-        acc[0] += w * dbuf[ETA, pl.ds(off, B), :]
-        acc[1] += w * dbuf[U, pl.ds(off, B), :]
-        acc[2] += w * dbuf[V, pl.ds(off, B), :]
+        if acc_window:
+            acc[0] += w * dbuf[ETA]
+            acc[1] += w * dbuf[U]
+            acc[2] += w * dbuf[V]
+        else:
+            acc[0] += w * dbuf[ETA, pl.ds(off, B), :]
+            acc[1] += w * dbuf[U, pl.ds(off, B), :]
+            acc[2] += w * dbuf[V, pl.ds(off, B), :]
         return 0
 
     acc[...] = jnp.zeros(acc.shape, acc.dtype)
     jax.lax.fori_loop(0, n_sub, substep, 0)
 
-    eta_out[...] = acc[0]
-    U_out[...] = acc[1]
-    V_out[...] = acc[2]
+    if acc_window:
+        eta_out[...] = acc[0, pl.ds(off, B), :]
+        U_out[...] = acc[1, pl.ds(off, B), :]
+        V_out[...] = acc[2, pl.ds(off, B), :]
+    else:
+        eta_out[...] = acc[0]
+        U_out[...] = acc[1]
+        V_out[...] = acc[2]
 
 
 def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
                                Nx, Hx, block_rows=DEFAULT_BLOCK_ROWS, interpret=False,
-                               dpack=None, wrap_x_each_substep=True):
+                               dpack=None, wrap_x_each_substep=True,
+                               vmem_limit_mb=None, crop=True, acc_window=False):
     """Run the full barotropic loop in one Pallas kernel.
 
     ``pack_static``: (5, *, *) stacked metric operands
@@ -172,12 +187,13 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
 
     if dpack is None:  # caller may supply the already-stacked [eta,U,V,GU,GV]
         dpack = jnp.stack([eta, U, V, GU, GV])
-    if (Ye_pad, Xe_pad) != (Ye, Xe):
-        dpack = jnp.pad(dpack, ((0, 0), (0, Ye_pad - Ye), (0, Xe_pad - Xe)))
+    if dpack.shape[1:] != (Ye_pad, Xe_pad):  # pre-padded dpack passes through
+        dpack = jnp.pad(dpack, ((0, 0), (0, Ye_pad - dpack.shape[1]),
+                                (0, Xe_pad - dpack.shape[2])))
 
     kern = functools.partial(
         _kernel, n_sub=n_sub, W=W, B=B, Ye=Ye_pad, Xe=Xe_pad, Nx=Nx, Hx=Hx,
-        wrap=wrap_x_each_substep,
+        wrap=wrap_x_each_substep, acc_window=acc_window,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -191,19 +207,24 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
         scratch_shapes=[
             pltpu.VMEM((5, W, Xe_pad), eta.dtype),
             pltpu.VMEM((5, W, Xe_pad), eta.dtype),
-            pltpu.VMEM((3, B, Xe_pad), eta.dtype),
+            pltpu.VMEM((3, W if acc_window else B, Xe_pad), eta.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
+    kwargs = {}
+    if vmem_limit_mb is not None and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb * 2**20))
     out_shape = [jax.ShapeDtypeStruct((Ye_pad, Xe_pad), eta.dtype)] * 3
     eta_a, U_a, V_a = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        **kwargs,
     )(jnp.asarray([dtau], eta.dtype), weights, spack, dpack)
-    if (Ye_pad, Xe_pad) != (Ye, Xe):
+    if crop and (Ye_pad, Xe_pad) != (Ye, Xe):
         eta_a, U_a, V_a = (a[:Ye, :Xe] for a in (eta_a, U_a, V_a))
     return eta_a, U_a, V_a

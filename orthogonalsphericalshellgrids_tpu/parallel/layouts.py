@@ -48,7 +48,6 @@ _MODEL_FIELDS = {
     "h_u_e": EXT, "h_v_e": EXT, "mask_u_e": EXT, "mask_v_e": EXT,
     "weights": REP,
     "baro_pack": EXT,    # (K, Ye, Xe) stacked planes, pad_pack-aligned past EXT
-    "tend_pack": BASE,   # (K, Yb, Xb) stacked planes, exact BASE layout
     "f_ff": BASE, "taux": BASE, "tauy": BASE,
 }
 

@@ -56,50 +56,33 @@ def test_barotropic_pallas_matches_xla(shape, substeps):
         np.testing.assert_allclose(ai, bi, rtol=2e-6, atol=1e-10, err_msg=name)
 
 
-@pytest.mark.parametrize("upwind", [True, False])
-def test_tendencies_pallas_matches_xla(upwind):
-    """The fused tendency kernel must match the XLA tendencies + AB2 + forcing path on
-    the interior (interpret mode)."""
-    grid = osg.TripolarGrid.make((64, 48, 1), dtype=jnp.float32,
+def test_barotropic_pallas_acc_window_mode():
+    """The full-window-accumulator kernel variant must match the default per-substep
+    accumulate (both against the same XLA oracle path)."""
+    grid = osg.TripolarGrid.make((48, 40, 1), dtype=jnp.float32,
                                  first_pole_longitude=45.0, north_poles_latitude=35.0)
 
     def bottom(lam, phi):
-        return np.where((phi < -78) | ((np.abs(lam - 45) < 8) & (np.abs(phi - 35) < 8)), 1.0, 0.0)
+        return np.where(phi < -78, 1.0, 0.0)
 
-    madv = "weno_vector_invariant" if upwind else "vector_invariant"
-    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=8),
-                       bottom_height=bottom, use_pallas=False, momentum_advection=madv)
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=12),
+                       bottom_height=bottom, use_pallas=False)
     state = initial_state(
         model,
-        u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
-        v=lambda lam, phi: 0.2 * np.sin(np.deg2rad(lam) * 2),
-        c=lambda lam, phi: np.sin(np.deg2rad(phi) * 6),
+        eta=lambda lam, phi: 0.01 * np.cos(np.deg2rad(lam) * 2) * np.cos(np.deg2rad(phi) * 3),
     )
-    g = model.grid
-    from orthogonalsphericalshellgrids_tpu.ops import zipper
-    SB = zipper.fill_halos_batch(
-        jnp.stack([state.u, state.v, state.c]), [FC, CF, CC], [-1, -1, 1],
-        g.Nx, g.Ny, g.Hx, g.Hy, xp=jnp)
-    u, v, c = SB[0], SB[1], SB[2]
-
-    Gu, Gv, Gc = H.tendencies(model, u, v, c)
-    w1, w2, dt = 1.6, 0.6, 90.0
-    Gu_s = w1 * Gu - w2 * state.Gu
-    Gv_s = w1 * Gv - w2 * state.Gv
-    Gc_s = w1 * Gc - w2 * state.Gc
-    ref = dict(
-        Gu=Gu, Gv=Gv, Gc=Gc,
-        GUb=model.ib.h_u * Gu_s, GVb=model.ib.h_v * Gv_s,
-        c_new=(state.c + dt * Gc_s) * model.ib.mask_c,
-    )
-
-    from orthogonalsphericalshellgrids_tpu.ops.pallas_tend import tendencies_pallas
-    dpack = jnp.concatenate([SB, jnp.stack([state.Gu, state.Gv, state.Gc])], axis=0)
-    out = tendencies_pallas(model.tend_pack, dpack, w1, w2, dt,
-                            coriolis=False, upwind_q=upwind, tracer_weno=True,
-                            interpret=True)
-    for name, o in zip(["Gu", "Gv", "Gc", "GUb", "GVb", "c_new"], out):
-        a = np.asarray(g.interior(ref[name]))
-        b = np.asarray(g.interior(o))
-        scale = np.abs(a).max() + 1e-12
-        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5, err_msg=name)
+    ge = model.grid_ext
+    eta = H._fill(ge, state.eta, CC, 1)
+    U = H._fill(ge, state.U, FC, -1)
+    V = H._fill(ge, state.V, CF, -1)
+    Z = jnp.zeros_like(U)
+    dtau = model.fractional_dt * 120.0
+    a = barotropic_substeps_pallas(model.baro_pack, eta, U, V, Z, Z, dtau,
+                                   model.weights, ge.Nx, ge.Hx, interpret=True)
+    b = barotropic_substeps_pallas(model.baro_pack, eta, U, V, Z, Z, dtau,
+                                   model.weights, ge.Nx, ge.Hx, interpret=True,
+                                   acc_window=True)
+    for name, x, y in zip(["eta", "U", "V"], a, b):
+        np.testing.assert_allclose(np.asarray(ge.interior(x)),
+                                   np.asarray(ge.interior(y)),
+                                   rtol=1e-6, atol=1e-12, err_msg=name)
