@@ -54,10 +54,11 @@ def seam_row_weights(Ny, dtype=None):
 def tracer_content(model: HydrostaticModel, state: State):
     """Global tracer content Σ c·Az·H with the seam row half-weighted — conserved to
     round-off by the flux-form advection across the zipper fold (pinned in
-    tests/test_model.py)."""
+    tests/test_model.py). With multiple tracers (3-D ``state.c``) returns the
+    per-tracer content vector, ordered as ``model.tracer_names``."""
     g = model.grid
     w = seam_row_weights(g.Ny, model.dtype)
-    return jnp.sum(g.interior(state.c * g.az_cc * model.ib.h_c) * w)
+    return jnp.sum(g.interior(state.c * g.az_cc * model.ib.h_c) * w, axis=(-2, -1))
 
 
 @jax.jit

@@ -114,6 +114,7 @@ class HydrostaticModel:
     use_pallas: bool
     tracer_advection: str
     momentum_advection: str
+    tracer_names: tuple      # ("c",) -> State.c is (Ye, Xe); else (n, Ye, Xe) stacked
     wind: bool
     drag_type: str      # "none" | "linear" | "quadratic"
     drag_coeff: float
@@ -134,7 +135,7 @@ _MODEL_ARRAYS = [
     "taux", "tauy",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
-               "tracer_advection", "momentum_advection",
+               "tracer_advection", "momentum_advection", "tracer_names",
                "wind", "drag_type", "drag_coeff", "nu_h", "kappa_h"]
 
 for _cls, _data, _meta in [
@@ -169,6 +170,23 @@ def _fill_batch(grid: TripolarGrid, S, locs, signs, spmd=None):
     return fill_halos_spmd_batch(S, locs, signs, grid.Nx, grid.Ny, grid.Hx, grid.Hy, spmd)
 
 
+def _stack_uvc(u, v, c):
+    """Stack (u, v, tracers) into one (2 + n_tracers, Ye, Xe) fill batch; a 2-D c is
+    a single plane, a 3-D c contributes its planes."""
+    uv = jnp.stack([u, v])
+    return jnp.concatenate([uv, c[None] if c.ndim == 2 else c], axis=0)
+
+
+def _uvc_locs_signs(c):
+    n = 1 if c.ndim == 2 else c.shape[0]
+    return [FC, CF] + [CC] * n, [-1, -1] + [1] * n
+
+
+def _unstack_uvc(S, c_like):
+    """Inverse of _stack_uvc: (u, v, c) with c matching c_like's layout."""
+    return S[0], S[1], (S[2] if c_like.ndim == 2 else S[2:])
+
+
 def embed_ext(grid: TripolarGrid, grid_ext: TripolarGrid, A):
     """Pad a base-halo array into the extended-halo layout (y always; x too when the
     free-surface grid carries widened x-halos — the 2-D decomposition path)."""
@@ -200,6 +218,8 @@ def make_model(
     use_pallas: bool | None = None,
     tracer_advection: str = "weno5",
     momentum_advection: str = "weno_vector_invariant",
+    tracers: tuple = ("c",),  # tracer names (the reference's ``tracers=(:c, ...)``);
+                              # >1 name stacks State.c as (n_tracers, Ye, Xe)
     wind_stress=None,       # callable (λ°, φ°) -> (τx, τy) kinematic stress [m²/s²]
     bottom_drag=None,       # ("linear", r [m/s]) or ("quadratic", Cd [-])
     nu_h: float = 0.0,      # horizontal viscosity [m²/s]
@@ -219,6 +239,9 @@ def make_model(
             "A tripolar-grid model requires an explicit SplitExplicitFreeSurface "
             "configuration (the reference rejects the default free surface too)."
         )
+    tracers = tuple(str(t) for t in tracers)
+    if len(tracers) == 0 or len(set(tracers)) != len(tracers):
+        raise ValueError(f"tracers must be a non-empty tuple of unique names, got {tracers!r}")
     hy_ext = max(free_surface.required_y_halo, grid.Hy)
     # The x-halo is widened like y so the barotropic loop is communication- AND
     # wrap-free in both directions (validity shrinks one row/column per substep).
@@ -348,6 +371,7 @@ def make_model(
         use_pallas=bool(use_pallas),
         tracer_advection=tracer_advection,
         momentum_advection=momentum_advection,
+        tracer_names=tracers,
         taux=taux,
         tauy=tauy,
         wind=wind,
@@ -361,7 +385,11 @@ def make_model(
 def initial_state(model: HydrostaticModel, u=None, v=None, c=None, eta=None) -> State:
     """Build the initial state from functions of (λ, φ) in degrees evaluated at the
     proper staggered locations (the reference's ``set!(model, u=uᵢ, ...)`` semantics,
-    examples/bickley_jet.jl:70-73)."""
+    examples/bickley_jet.jl:70-73).
+
+    With multiple tracers (``make_model(..., tracers=("T", "S"))``), ``c`` may be a
+    dict ``{name: fn}`` (missing names start at 0) or a sequence of fns in
+    ``tracer_names`` order; ``State.c`` is then the (n_tracers, Ye, Xe) stack."""
     g = model.grid
     dt = model.dtype
 
@@ -375,9 +403,29 @@ def initial_state(model: HydrostaticModel, u=None, v=None, c=None, eta=None) -> 
         full[g.interior2d] = out[g.interior2d]
         return jnp.asarray(full, dt)
 
+    names = model.tracer_names
+    if len(names) == 1 and not isinstance(c, (dict, list, tuple)):
+        c_raw = sample_full(c, g.lam_cc, g.phi_cc)
+    else:
+        if c is None:
+            fns = [None] * len(names)
+        elif isinstance(c, dict):
+            unknown = set(c) - set(names)
+            if unknown:
+                raise ValueError(f"unknown tracer names {sorted(unknown)}; "
+                                 f"model tracers are {names}")
+            fns = [c.get(nm) for nm in names]
+        else:
+            if len(c) != len(names):
+                raise ValueError(f"got {len(c)} tracer initializers for "
+                                 f"{len(names)} tracers {names}")
+            fns = list(c)
+        c_raw = jnp.stack([sample_full(fn, g.lam_cc, g.phi_cc) for fn in fns])
+        if len(names) == 1:
+            c_raw = c_raw[0]
+
     u_raw = sample_full(u, g.lam_fc, g.phi_fc)
     v_raw = sample_full(v, g.lam_cf, g.phi_cf)
-    c_raw = sample_full(c, g.lam_cc, g.phi_cc)
     eta_raw = sample_full(eta, g.lam_cc, g.phi_cc)
 
     @jax.jit
@@ -392,7 +440,7 @@ def initial_state(model: HydrostaticModel, u=None, v=None, c=None, eta=None) -> 
         zero = jnp.zeros(g.shape2d, dt)
         return State(
             u=u0, v=v0, eta=eta_e, U=U0, V=V0, c=c0,
-            Gu=zero, Gv=zero, Gc=zero,
+            Gu=zero, Gv=zero, Gc=jnp.zeros_like(c0),
             t=jnp.zeros((), dt), iteration=jnp.zeros((), jnp.int32),
         )
 
@@ -527,27 +575,29 @@ def tendencies_overlapped(model: HydrostaticModel, state: State, spmd: Spmd):
     g = model.grid
     H, ny = g.Hy, g.Ny  # local sizes inside shard_map
 
-    S0 = jnp.stack([state.u, state.v, state.c])
+    S0 = _stack_uvc(state.u, state.v, state.c)
+    locs_uvc, signs_uvc = _uvc_locs_signs(state.c)
     # local-only variant: x-wrap is local (each shard holds the full x extent in the
     # 1-D decomposition); y halo rows stay stale and are never read by kept rows
     S_stale = zipper.wrap_x(S0, g.Nx, g.Hx, xp=jnp)
     # the full exchange — independent of the bulk compute below by construction
-    S_full = fill_halos_spmd_batch(S0, [FC, CF, CC], [-1, -1, 1], g.Nx, ny, g.Hx, H,
+    S_full = fill_halos_spmd_batch(S0, locs_uvc, signs_uvc, g.Nx, ny, g.Hx, H,
                                    spmd)
 
-    G_bulk = tendencies(model, S_stale[0], S_stale[1], S_stale[2])
+    G_bulk = tendencies(model, *_unstack_uvc(S_stale, state.c))
 
     def strip(r0):
         m_s = _model_rows(model, r0, r0 + 3 * H)
         Ss = S_full[:, r0 : r0 + 3 * H, :]
-        return tendencies(m_s, Ss[0], Ss[1], Ss[2])
+        return tendencies(m_s, *_unstack_uvc(Ss, state.c))
 
     G_lo = strip(0)            # patches interior rows [H, 2H)
     G_hi = strip(ny - H)       # patches interior rows [ny, ny+H)
 
     def merge(bulk, lo, hi):
-        bulk = bulk.at[H : 2 * H].set(lo[H : 2 * H])
-        return bulk.at[ny : ny + H].set(hi[H : 2 * H])
+        # row indexing on axis -2: Gc carries a leading tracer axis when n_tracers > 1
+        bulk = bulk.at[..., H : 2 * H, :].set(lo[..., H : 2 * H, :])
+        return bulk.at[..., ny : ny + H, :].set(hi[..., H : 2 * H, :])
 
     Gu, Gv, Gc = (merge(b, l, h) for b, l, h in zip(G_bulk, G_lo, G_hi))
     return Gu, Gv, Gc, S_full
@@ -628,11 +678,13 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
     if overlap:
         SB = None
     elif fill_mode == "batch" or spmd is not None:
-        SB = _fill_batch(g, jnp.stack([state.u, state.v, state.c]),
-                         [FC, CF, CC], [-1, -1, 1], spmd)
+        locs_uvc, signs_uvc = _uvc_locs_signs(state.c)
+        S = _fill_batch(g, _stack_uvc(state.u, state.v, state.c),
+                        locs_uvc, signs_uvc, spmd)
+        SB = _unstack_uvc(S, state.c)
     else:
         SB = (_fill(g, state.u, FC, -1), _fill(g, state.v, CF, -1),
-              _fill(g, state.c, CC, 1))
+              _fill(g, state.c, CC, 1))  # leading tracer axis rides along
 
     # The free-surface state fill depends only on `state`, not on the tendencies —
     # issue it BEFORE the tendency compute so that on a device mesh XLA's
