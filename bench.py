@@ -4,12 +4,15 @@ single chip — BASELINE.md's primary metric (grid-points/s/chip).
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-vs_baseline: the reference publishes NO numbers (BASELINE.md: "published: none").
-The denominator used here is 5.0e6 grid-points/s — a single-core CPU estimate for the
-reference stack (Julia/Oceananigans WENO vector-invariant + 30-substep split-explicit
-free surface typically advances a few million points/s/core on one CPU core; the
-reference's serial example is CPU or single GPU). Treat vs_baseline as indicative, not
-as a published-number comparison.
+vs_baseline: the reference publishes NO numbers (BASELINE.md: "published: none") and
+Julia is not in this image, so the reference stack itself cannot be timed here. The
+denominator is MEASURED instead of guessed: the same Bickley-jet physics (WENO
+vector-invariant + 30-substep split-explicit free surface) run through this repo's
+XLA:CPU backend on this host — the reference's own execution vehicle (its CI and
+examples are CPU; `test/dependencies_for_runtests.jl:12`). Measured by
+benchmarks/cpu_reference_proxy.py: 7.70e6 grid-points/s at 360x180 on the 2-vCPU
+host (best of 5, 2026-08-19). vs_baseline is therefore "one TPU chip vs one CPU host
+on identical physics", not a published-number comparison.
 
 Timing protocol: steady-state steps only (construction excluded — the remote TPU
 tunnel stalls intermittently; see .claude/skills/verify/SKILL.md), with warmup, over
@@ -22,7 +25,10 @@ import json
 import sys
 import time
 
-ASSUMED_REFERENCE_POINTS_PER_S = 5.0e6
+# Measured CPU-host throughput of the identical workload (see module docstring);
+# re-measure with `python benchmarks/cpu_reference_proxy.py`. Best of 5 runs on the
+# throttled 2-vCPU host (5.2-7.7e6 spread; the best run is the honest capability).
+MEASURED_CPU_HOST_POINTS_PER_S = 7.70e6
 
 
 def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):
@@ -67,7 +73,7 @@ def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):
         "metric": "grid-points/s/chip (Bickley jet, 1/4deg tripolar, WENO-5 + split-explicit substeps=30)",
         "value": round(points_per_s, 1),
         "unit": "grid-points/s/chip",
-        "vs_baseline": round(points_per_s / ASSUMED_REFERENCE_POINTS_PER_S, 3),
+        "vs_baseline": round(points_per_s / MEASURED_CPU_HOST_POINTS_PER_S, 3),
     }))
 
 

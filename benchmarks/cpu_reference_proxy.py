@@ -1,0 +1,50 @@
+"""Measure the vs_baseline denominator for bench.py: the same Bickley-jet physics run
+through this repo's XLA:CPU backend on this host.
+
+The reference publishes no numbers and Julia is not in this image, so the reference
+stack cannot be timed directly; its own execution vehicle is the CPU (CI and examples
+are CPU-only, ``test/dependencies_for_runtests.jl:12``), so a one-host CPU run of
+identical physics is the honest measured stand-in. Prints one JSON line; paste the
+result into bench.py's MEASURED_CPU_HOST_POINTS_PER_S with the date.
+
+Run from the repo root: ``python benchmarks/cpu_reference_proxy.py``.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from functools import partial
+
+from examples.bickley_jet import build
+from orthogonalsphericalshellgrids_tpu.models.hydrostatic import multi_step
+
+
+def main(nx=360, ny=180, substeps=30):
+    model, state = build(nx=nx, ny=ny, substeps=substeps)
+    block = 10
+    sj = jax.jit(partial(multi_step, n_steps=block), donate_argnums=(1,))
+    dt = 60.0
+    s = sj(model, state, dt)  # warmup/compile
+    jax.block_until_ready(s)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            s = sj(model, s, dt)
+        jax.block_until_ready(s)
+        best = min(best, time.perf_counter() - t0)
+    pts = nx * ny * 3 * block / best
+    print(json.dumps({"cpu_points_per_s": round(pts, 1), "nx": nx, "ny": ny,
+                      "elapsed_s": round(best, 3), "threads": os.cpu_count()}))
+
+
+if __name__ == "__main__":
+    main()
