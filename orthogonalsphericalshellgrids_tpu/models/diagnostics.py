@@ -74,11 +74,20 @@ def surface_volume(model: HydrostaticModel, state: State):
 def layered_tracer_content(model, state, field="c"):
     """Σ c·Az·dz over all layers (seam row half-weighted): the layered model's
     conserved tracer functional (zero-flux surface/floor, telescoping interior —
-    pinned in tests/test_layered.py)."""
+    pinned in tests/test_layered.py). With multiple tracers (``field="c"`` and a
+    tracer-major (n·Nz, Yb, Xb) stack) returns the per-tracer content vector in
+    ``model.tracer_names`` order."""
+    from .layered import _as_tracer4
+
     g = model.grid
     w = seam_row_weights(g.Ny, model.dtype)
     c = getattr(state, field)
     vol = model.mask_c3 * model.dz * g.az_cc
+    if field == "c":
+        c4 = _as_tracer4(model, c)
+        out = jnp.sum((c4 * vol)[..., g.interior2d[0], g.interior2d[1]] * w,
+                      axis=(-3, -2, -1))
+        return out[0] if len(model.tracer_names) == 1 else out
     return jnp.sum((c * vol)[(slice(None),) + g.interior2d] * w)
 
 

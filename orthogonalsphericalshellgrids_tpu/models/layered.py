@@ -103,9 +103,21 @@ class LayeredModel:
     # static metadata
     nz: int
     dz: float
-    buoyancy: bool
+    buoyancy: str    # "none" | "tracer_b" (prognostic b) | "linear_eos" (b from T/S)
     kappa_v: float   # explicit vertical tracer diffusivity (m^2/s; 0 disables)
     nu_v: float      # explicit vertical viscosity (m^2/s; 0 disables)
+    tracer_names: tuple  # ("c",) -> State.c is (Nz, Yb, Xb); else (n*Nz, ...) stacked
+    # linear seawater EOS: b = g_b (α (T - T0) - β (S - S0)); β term only if "S" present
+    g_b: float
+    alpha_T: float
+    beta_S: float
+    T0: float
+    S0: float
+
+    @property
+    def has_b(self) -> bool:
+        """True when ``b`` is a prognostic tracer (BuoyancyTracer mode)."""
+        return self.buoyancy == "tracer_b"
 
     @property
     def grid(self):
@@ -125,7 +137,8 @@ for _cls, _data, _meta in [
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
       "bot_u", "bot_v"],
-     ["nz", "dz", "buoyancy", "kappa_v", "nu_v"]),
+     ["nz", "dz", "buoyancy", "kappa_v", "nu_v", "tracer_names",
+      "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
     jax.tree_util.register_dataclass(_cls, data_fields=_data, meta_fields=_meta)
 
@@ -138,11 +151,17 @@ def make_layered_model(
     grid: TripolarGrid,
     free_surface: SplitExplicitFreeSurface | None = None,
     bottom_height=None,
-    buoyancy: bool = False,
+    buoyancy: bool | str = False,  # False | True (prognostic b) | "linear_eos" (T/S)
+    tracers: tuple = ("c",),       # tracer names; >1 stacks State.c as (n*Nz, Yb, Xb)
     coriolis: bool = False,
     rotation_rate: float = 7.292115e-5,
     kappa_v: float = 0.0,
     nu_v: float = 0.0,
+    gravitational_acceleration: float = 9.80665,  # for the linear EOS buoyancy
+    thermal_expansion: float = 1.67e-4,           # α [1/K] (Oceananigans default)
+    haline_contraction: float = 7.80e-4,          # β [1/psu] (Oceananigans default)
+    reference_temperature: float = 0.0,           # T0
+    reference_salinity: float = 35.0,             # S0
     wind_stress=None,       # callable (λ°, φ°) -> (τx, τy) kinematic [m²/s²]; acts on layer 0
     bottom_drag=None,       # ("linear", r) or ("quadratic", Cd); acts on the deepest wet layer
     nu_h: float = 0.0,
@@ -158,7 +177,25 @@ def make_layered_model(
     The layer grid is the TripolarGrid's own z discretization: Nz uniform layers over
     ``z_bounds`` (``src/tripolar_grid.jl:91`` — generate_coordinate over (z_bottom,
     z_top)), k = 0 at the surface.
+
+    Buoyancy modes (Oceananigans's ``buoyancy=`` model kwarg, SURVEY.md O5):
+    - ``False``: none (the reference workloads, ``examples/bickley_jet.jl:53``).
+    - ``True``: ``BuoyancyTracer`` — prognostic ``b`` enters the hydrostatic pressure.
+    - ``"linear_eos"``: ``SeawaterBuoyancy(LinearEquationOfState(α, β))`` —
+      b = g(α(T − T0) − β(S − S0)) computed from the ``"T"``/``"S"`` tracers
+      (at least one must be in ``tracers``; a missing one contributes zero).
     """
+    tracers = tuple(str(t) for t in tracers)
+    if len(tracers) == 0 or len(set(tracers)) != len(tracers):
+        raise ValueError(f"tracers must be a non-empty tuple of unique names, got {tracers!r}")
+    if buoyancy == "linear_eos":
+        mode = "linear_eos"
+        if "T" not in tracers and "S" not in tracers:
+            raise ValueError('buoyancy="linear_eos" requires a "T" and/or "S" tracer')
+    elif isinstance(buoyancy, str) and buoyancy not in ("none",):
+        raise ValueError(f"unknown buoyancy mode {buoyancy!r}")
+    else:
+        mode = "tracer_b" if buoyancy is True else "none"
     baro = make_model(grid, free_surface=free_surface, bottom_height=bottom_height,
                       coriolis=coriolis, rotation_rate=rotation_rate,
                       use_pallas=use_pallas, tracer_advection=tracer_advection,
@@ -213,9 +250,15 @@ def make_layered_model(
         inv_h_v=_inv(jnp.sum(dzv, axis=0)),
         nz=nz,
         dz=float(dz),
-        buoyancy=bool(buoyancy),
+        buoyancy=mode,
         kappa_v=float(kappa_v),
         nu_v=float(nu_v),
+        tracer_names=tracers,
+        g_b=float(gravitational_acceleration),
+        alpha_T=float(thermal_expansion),
+        beta_S=float(haline_contraction),
+        T0=float(reference_temperature),
+        S0=float(reference_salinity),
     )
 
 
@@ -223,7 +266,12 @@ def layered_initial_state(model: LayeredModel, u=None, v=None, c=None, b=None,
                           eta=None) -> LayeredState:
     """Initial state from functions of (λ°, φ°, z[m]) evaluated per layer at the
     proper staggered locations (the reference's ``set!(model, ...)`` semantics with a
-    z argument)."""
+    z argument).
+
+    With multiple tracers (``make_layered_model(..., tracers=("T", "S"))``), ``c``
+    may be a dict ``{name: fn}`` (missing names start at 0) or a sequence of fns in
+    ``tracer_names`` order; ``State.c`` is the tracer-major (n_tracers·Nz, Yb, Xb)
+    plane stack (tracer t occupies planes [t·Nz, (t+1)·Nz))."""
     g = model.grid
     dt = model.dtype
     nz = model.nz
@@ -241,9 +289,27 @@ def layered_initial_state(model: LayeredModel, u=None, v=None, c=None, b=None,
             out[k][g.interior2d] = full[g.interior2d]
         return out
 
+    names = model.tracer_names
+    if len(names) == 1 and not isinstance(c, (dict, list, tuple)):
+        c_raw = sample(c, g.lam_cc, g.phi_cc)
+    else:
+        if c is None:
+            fns = [None] * len(names)
+        elif isinstance(c, dict):
+            unknown = set(c) - set(names)
+            if unknown:
+                raise ValueError(f"unknown tracer names {sorted(unknown)}; "
+                                 f"model tracers are {names}")
+            fns = [c.get(nm) for nm in names]
+        else:
+            if len(c) != len(names):
+                raise ValueError(f"got {len(c)} tracer initializers for "
+                                 f"{len(names)} tracers {names}")
+            fns = list(c)
+        c_raw = np.concatenate([sample(fn, g.lam_cc, g.phi_cc) for fn in fns], axis=0)
+
     u_raw = sample(u, g.lam_fc, g.phi_fc)
     v_raw = sample(v, g.lam_cf, g.phi_cf)
-    c_raw = sample(c, g.lam_cc, g.phi_cc)
     b_raw = sample(b, g.lam_cc, g.phi_cc)
     if eta is None:
         eta_raw = np.zeros(g.shape2d)
@@ -258,7 +324,7 @@ def layered_initial_state(model: LayeredModel, u=None, v=None, c=None, b=None,
     def _assemble(u_raw, v_raw, c_raw, b_raw, eta_raw):
         u0 = jnp.asarray(u_raw, dt) * model.mask_u3
         v0 = jnp.asarray(v_raw, dt) * model.mask_v3
-        c0 = jnp.asarray(c_raw, dt) * model.mask_c3
+        c0 = _mask_tracers(model, jnp.asarray(c_raw, dt))
         b0 = jnp.asarray(b_raw, dt) * model.mask_c3
         eta0 = jnp.asarray(eta_raw, dt) * model.baro.ib.mask_c
         U0 = embed_ext(g, model.baro.grid_ext, jnp.sum(u0 * model.dzu, axis=0))
@@ -267,7 +333,7 @@ def layered_initial_state(model: LayeredModel, u=None, v=None, c=None, b=None,
         z3 = jnp.zeros((nz,) + g.shape2d, dt)
         return LayeredState(
             u=u0, v=v0, eta=eta_e, U=U0, V=V0, c=c0, b=b0,
-            Gu=z3, Gv=z3, Gc=z3, Gb=z3,
+            Gu=z3, Gv=z3, Gc=jnp.zeros_like(c0), Gb=z3,
             t=jnp.zeros((), dt), iteration=jnp.zeros((), jnp.int32),
         )
 
@@ -289,15 +355,46 @@ def vertical_velocity(model: LayeredModel, u, v):
     return jnp.concatenate([-below, jnp.zeros_like(hdiv[:1])], axis=0)
 
 
+def _as_tracer4(model: LayeredModel, c):
+    """(n_tracers·Nz, Yb, Xb) tracer-major plane stack -> (n, Nz, Yb, Xb) view
+    (identity reshape for a single tracer)."""
+    n = len(model.tracer_names)
+    return c.reshape((n, model.nz) + c.shape[-2:])
+
+
+def _as_tracer_stack(model: LayeredModel, c4):
+    """Inverse of _as_tracer4, back to the State layout: (Nz, ...) for one tracer,
+    (n·Nz, ...) otherwise."""
+    if len(model.tracer_names) == 1:
+        return c4.reshape((model.nz,) + c4.shape[-2:])
+    return c4.reshape((-1,) + c4.shape[-2:])
+
+
+def _mask_tracers(model: LayeredModel, c):
+    """Multiply a tracer stack by mask_c3 (broadcast per tracer)."""
+    return _as_tracer_stack(model, _as_tracer4(model, c) * model.mask_c3)
+
+
+# Layer-axis slicing helpers: the layer axis is -3 so every vertical operator also
+# broadcasts over an optional LEADING tracer axis ((n, Nz, Yb, Xb) stacks); for plain
+# (Nz, Yb, Xb) fields axis -3 is axis 0, identical to the original formulation.
+def _zs(q, lo, hi):
+    return q[..., lo:hi, :, :] if hi is not None else q[..., lo:, :, :]
+
+
+def _zcat(parts):
+    return jnp.concatenate(parts, axis=-3)
+
+
 def _w_advect(w_face, q, dz):
     """Advective-form vertical transport ``w ∂z q`` at layer points from interface
     velocities ``w_face`` (Nz+1, ...) co-located with q horizontally. Surface and
     floor interfaces contribute zero (no flux through the boundaries)."""
-    dq = (q[:-1] - q[1:]) / dz                 # ∂z q at interior interfaces 1..Nz-1
-    contrib = w_face[1:-1] * dq
-    zero = jnp.zeros_like(q[:1])
-    upper = jnp.concatenate([zero, contrib], axis=0)   # interface k term, layer k
-    lower = jnp.concatenate([contrib, zero], axis=0)   # interface k+1 term, layer k
+    dq = (_zs(q, 0, -1) - _zs(q, 1, None)) / dz   # ∂z q at interior interfaces 1..Nz-1
+    contrib = _zs(w_face, 1, -1) * dq
+    zero = jnp.zeros_like(_zs(q, 0, 1))
+    upper = _zcat([zero, contrib])   # interface k term, layer k
+    lower = _zcat([contrib, zero])   # interface k+1 term, layer k
     return 0.5 * (upper + lower)
 
 
@@ -305,19 +402,20 @@ def _vertical_tracer_div(w, c, dz):
     """-δz(w c̃)/dz with Centered interface reconstruction (the reference's
     FluxFormAdvection z slot) and ZERO flux through surface and floor — total content
     telescopes to exact conservation."""
-    cbar = 0.5 * (c[:-1] + c[1:])             # interior interfaces 1..Nz-1
-    F = w[1:-1] * cbar
-    zero = jnp.zeros_like(c[:1])
-    Ffull = jnp.concatenate([zero, F, zero], axis=0)   # (Nz+1, ...)
-    return -(Ffull[:-1] - Ffull[1:]) / dz
+    cbar = 0.5 * (_zs(c, 0, -1) + _zs(c, 1, None))   # interior interfaces 1..Nz-1
+    F = _zs(w, 1, -1) * cbar
+    zero = jnp.zeros_like(_zs(c, 0, 1))
+    Ffull = _zcat([zero, F, zero])   # (..., Nz+1, Y, X)
+    return -(_zs(Ffull, 0, -1) - _zs(Ffull, 1, None)) / dz
 
 
 def _vertical_laplacian(q, dz, mask):
     """Explicit δz(κ δz q)/dz² with zero-flux boundaries and solid-cell masking."""
-    dq = (q[:-1] - q[1:]) / dz * mask[:-1] * mask[1:]  # flux only between fluid cells
-    zero = jnp.zeros_like(q[:1])
-    Ffull = jnp.concatenate([zero, dq, zero], axis=0)
-    return (Ffull[:-1] - Ffull[1:]) / dz
+    # flux only between fluid cells
+    dq = (_zs(q, 0, -1) - _zs(q, 1, None)) / dz * (_zs(mask, 0, -1) * _zs(mask, 1, None))
+    zero = jnp.zeros_like(_zs(q, 0, 1))
+    Ffull = _zcat([zero, dq, zero])
+    return (_zs(Ffull, 0, -1) - _zs(Ffull, 1, None)) / dz
 
 
 def _hydrostatic_pressure(b, dz):
@@ -325,6 +423,21 @@ def _hydrostatic_pressure(b, dz):
     p_0 = -b_0 dz/2, p_k = p_{k-1} - (b_{k-1} + b_k) dz/2 — via one cumsum."""
     csum = jnp.cumsum(b * dz, axis=0)
     return -(csum - 0.5 * dz * b)
+
+
+def _linear_eos_buoyancy(model: LayeredModel, c):
+    """b = g(α(T − T0) − β(S − S0)) from the tracer stack — Oceananigans's
+    ``SeawaterBuoyancy(equation_of_state=LinearEquationOfState(α, β))`` (SURVEY.md O5
+    model family; the reference workloads use ``buoyancy=nothing``). A missing T or S
+    tracer contributes zero (its anomaly is defined as 0)."""
+    c4 = _as_tracer4(model, c)
+    names = model.tracer_names
+    b = jnp.zeros_like(c4[0])
+    if "T" in names:
+        b = b + model.alpha_T * (c4[names.index("T")] - model.T0)
+    if "S" in names:
+        b = b - model.beta_S * (c4[names.index("S")] - model.S0)
+    return model.g_b * b * model.mask_c3
 
 
 # --------------------------------------------------------------------------------------
@@ -359,9 +472,14 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
     Gu = Gu - _w_advect(ixf(w), u, model.dz)
     Gv = Gv - _w_advect(iyf(w), v, model.dz)
 
-    # --- baroclinic pressure gradient (BuoyancyTracer): p = -∫ b dz
-    if model.buoyancy:
-        p = _hydrostatic_pressure(b, model.dz)
+    # --- baroclinic pressure gradient: p = -∫ b dz, with b either the prognostic
+    # BuoyancyTracer or diagnosed from T/S via the linear EOS (SeawaterBuoyancy)
+    if model.buoyancy != "none":
+        if model.buoyancy == "linear_eos":
+            b_eff = _linear_eos_buoyancy(model, c)
+        else:
+            b_eff = b
+        p = _hydrostatic_pressure(b_eff, model.dz)
         Gu = Gu - dxf(p) * m.inv_dx_fc
         Gv = Gv - dyf(p) * m.inv_dy_cf
 
@@ -415,8 +533,10 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
                                             model.mask_v3)
         return G
 
-    Gc = tracer_tendency(c)
-    Gb = tracer_tendency(b) if model.buoyancy else jnp.zeros_like(c)
+    # multi-tracer: one broadcast pass over the (n, Nz, Yb, Xb) view — every
+    # horizontal/vertical operator above indexes axes -1/-2/-3 only
+    Gc = _as_tracer_stack(model, tracer_tendency(_as_tracer4(model, c)))
+    Gb = tracer_tendency(b) if model.has_b else jnp.zeros_like(b)
 
     return Gu, Gv, Gc, Gb
 
@@ -446,13 +566,14 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
     nz = model.nz
     dt = jnp.asarray(dt, model.dtype)
 
-    # one batched fill for every baroclinic prognostic plane
-    planes = [state.u, state.v, state.c] + ([state.b] if model.buoyancy else [])
-    locs = [FC] * nz + [CF] * nz + [CC] * nz * (2 if model.buoyancy else 1)
-    signs = [-1] * nz + [-1] * nz + [1] * nz * (2 if model.buoyancy else 1)
+    # one batched fill for every baroclinic prognostic plane (tracer stack included)
+    ncp = state.c.shape[0]  # n_tracers * nz tracer planes
+    planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
+    locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
+    signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
     SB = _fill_batch(g, jnp.concatenate(planes, axis=0), locs, signs, spmd)
-    u, v, c = SB[:nz], SB[nz : 2 * nz], SB[2 * nz : 3 * nz]
-    b = SB[3 * nz :] if model.buoyancy else state.b
+    u, v, c = SB[:nz], SB[nz : 2 * nz], SB[2 * nz : 2 * nz + ncp]
+    b = SB[2 * nz + ncp :] if model.has_b else state.b
 
     # free-surface fields exchanged early (overlappable with the tendency stencils)
     SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
@@ -467,7 +588,7 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
     Gu_s = w1 * Gu - w2 * state.Gu
     Gv_s = w1 * Gv - w2 * state.Gv
     Gc_s = w1 * Gc - w2 * state.Gc
-    Gb_s = w1 * Gb - w2 * state.Gb if model.buoyancy else state.Gb
+    Gb_s = w1 * Gb - w2 * state.Gb if model.has_b else state.Gb
 
     # thickness-weighted depth integral of the baroclinic forcing drives the subcycle
     GUb = jnp.sum(Gu_s * model.dzu, axis=0)
@@ -492,12 +613,12 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
     u_new = (u_star + (Ubar - ubar)[None]) * model.mask_u3
     v_new = (v_star + (Vbar - vbar)[None]) * model.mask_v3
 
-    c_new = (state.c + dt * Gc_s) * model.mask_c3
-    b_new = (state.b + dt * Gb_s) * model.mask_c3 if model.buoyancy else state.b
+    c_new = _mask_tracers(model, state.c + dt * Gc_s)
+    b_new = (state.b + dt * Gb_s) * model.mask_c3 if model.has_b else state.b
 
     return LayeredState(
         u=u_new, v=v_new, eta=eta_a, U=U_a, V=V_a, c=c_new, b=b_new,
-        Gu=Gu, Gv=Gv, Gc=Gc, Gb=Gb if model.buoyancy else state.Gb,
+        Gu=Gu, Gv=Gv, Gc=Gc, Gb=Gb if model.has_b else state.Gb,
         t=state.t + dt, iteration=state.iteration + 1,
     )
 

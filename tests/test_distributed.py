@@ -316,3 +316,55 @@ def test_sharded_checkpoint_round_trip(tmp_path):
     # the restored state steps identically to the original
     np.testing.assert_array_equal(
         np.asarray(fn(restored, 120.0).u), np.asarray(fn(s, 120.0).u))
+
+
+def test_sharded_layered_multi_tracer_eos():
+    """Layered multi-tracer + linear-EOS run: the sharded step over the (n·Nz)-plane
+    tracer stack must match serial on every interior point."""
+    from orthogonalsphericalshellgrids_tpu.models import (
+        layered_initial_state, layered_step, make_layered_model,
+    )
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute_layered, gather_layered_state, sharded_layered_step_fn,
+    )
+
+    grid = osg.TripolarGrid.make((32, 48, 3), dtype=jnp.float64, z=(-1000.0, 0.0),
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, -1000.0)
+
+    model = make_layered_model(grid, free_surface=SplitExplicitFreeSurface(substeps=6),
+                               bottom_height=bottom, tracers=("T", "S"),
+                               buoyancy="linear_eos")
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        c={"T": lambda lam, phi, z: 10.0 + 5e-3 * z + np.sin(np.deg2rad(lam)),
+           "S": lambda lam, phi, z: 35.0 + 0.1 * np.cos(np.deg2rad(phi) * 2)},
+    )
+    assert state.c.shape[0] == 2 * model.nz
+
+    n = 4
+    mesh = make_mesh(n)
+    dist_model, dist_state = distribute_layered(model, state, mesh)
+    fn = sharded_layered_step_fn(mesh, dist_model)
+
+    ss, ds = state, dist_state
+    sj = jax.jit(layered_step)
+    for _ in range(3):
+        ss = sj(model, ss, 60.0)
+        ds = fn(ds, 60.0)
+
+    got = gather_layered_state(ds, model, n)
+    g = model.grid
+    I3 = (slice(None),) + g.interior2d
+    for name in ("u", "v", "c"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)[I3]), np.asarray(getattr(ss, name)[I3]),
+            rtol=0, atol=1e-13, err_msg=name)

@@ -269,3 +269,104 @@ def test_corrector_consistency_unaligned_bottom():
     Vq = np.asarray(jnp.sum(out.v * model.dzv, axis=0))[I]
     wetv = np.asarray(jnp.sum(model.dzv, axis=0))[I] > 0
     np.testing.assert_allclose(Vq[wetv], Vbar[wetv], rtol=0, atol=1e-12)
+
+
+# --------------------------------------------------------------------------------------
+# Multi-tracer + linear seawater EOS (Oceananigans tracers=(:T,:S) + SeawaterBuoyancy)
+# --------------------------------------------------------------------------------------
+
+def test_layered_multi_tracer_matches_single():
+    """Each tracer of a two-tracer layered run must match the corresponding
+    single-tracer run (passive planes, identical flow; allclose at round-off — the
+    stacked program fuses differently)."""
+    def c2(lam, phi):
+        return np.cos(np.deg2rad(lam) * 2) * np.exp(-((np.deg2rad(phi) * 3) ** 2))
+
+    m2 = make_layered_model(
+        make_grid(3), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, tracers=("T", "S"))
+    s2 = layered_initial_state(
+        m2, u=lambda l, p, z: ui(l, p), v=lambda l, p, z: vi(l, p),
+        c={"T": lambda l, p, z: ci(l, p), "S": lambda l, p, z: c2(l, p)})
+    assert s2.c.shape[0] == 2 * m2.nz
+    s2 = run_layered(m2, s2, 4)
+
+    for k, cfun in enumerate([ci, c2]):
+        m1, _ = layered_bickley(nz=3)
+        s1 = layered_initial_state(
+            m1, u=lambda l, p, z: ui(l, p), v=lambda l, p, z: vi(l, p),
+            c=lambda l, p, z: cfun(l, p))
+        s1 = run_layered(m1, s1, 4)
+        np.testing.assert_allclose(
+            np.asarray(s2.c[k * 3 : (k + 1) * 3]), np.asarray(s1.c),
+            rtol=1e-12, atol=1e-18, err_msg=f"tracer {k}")
+        np.testing.assert_array_equal(np.asarray(s2.u), np.asarray(s1.u))
+
+
+def test_layered_per_tracer_content_conserved():
+    from orthogonalsphericalshellgrids_tpu.models.diagnostics import (
+        layered_tracer_content)
+
+    m = make_layered_model(
+        make_grid(3), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, tracers=("T", "S"))
+    s0 = layered_initial_state(
+        m, u=lambda l, p, z: ui(l, p), v=lambda l, p, z: vi(l, p),
+        c=[lambda l, p, z: 1.0 + ci(l, p), lambda l, p, z: 2.0 - ci(l, p)])
+    q0 = np.asarray(layered_tracer_content(m, s0))
+    assert q0.shape == (2,)
+    s = run_layered(m, s0, 5)
+    q1 = np.asarray(layered_tracer_content(m, s))
+    np.testing.assert_allclose(q1, q0, rtol=1e-12)
+
+
+def test_linear_eos_matches_buoyancy_tracer():
+    """With α·g = 1, T0 = 0 and no S tracer, b = T identically, so a
+    buoyancy="linear_eos" run must reproduce the prognostic-BuoyancyTracer run
+    (same planes advected, same pressure) to round-off."""
+    g_b = 9.80665
+
+    def b0(lam, phi, z):
+        return 1e-4 * (z + 500.0) / 500.0 + 1e-5 * np.cos(np.deg2rad(lam))
+
+    m_eos = make_layered_model(
+        make_grid(4), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, tracers=("c", "T"), buoyancy="linear_eos",
+        gravitational_acceleration=g_b, thermal_expansion=1.0 / g_b,
+        reference_temperature=0.0)
+    s_eos = layered_initial_state(
+        m_eos, u=lambda l, p, z: ui(l, p),
+        c={"c": lambda l, p, z: ci(l, p), "T": b0})
+    s_eos = run_layered(m_eos, s_eos, 5)
+
+    m_bt = make_layered_model(
+        make_grid(4), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, buoyancy=True)
+    s_bt = layered_initial_state(
+        m_bt, u=lambda l, p, z: ui(l, p),
+        c=lambda l, p, z: ci(l, p), b=b0)
+    s_bt = run_layered(m_bt, s_bt, 5)
+
+    nz = m_eos.nz
+    np.testing.assert_allclose(np.asarray(s_eos.u), np.asarray(s_bt.u),
+                               rtol=1e-10, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(s_eos.eta), np.asarray(s_bt.eta),
+                               rtol=1e-10, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(s_eos.c[nz:]), np.asarray(s_bt.b),
+                               rtol=1e-10, atol=1e-18)
+
+
+def test_layered_tracer_validation():
+    with pytest.raises(ValueError, match="unique"):
+        make_layered_model(make_grid(2),
+                           free_surface=SplitExplicitFreeSurface(substeps=8),
+                           bottom_height=bottom, tracers=("T", "T"))
+    with pytest.raises(ValueError, match='requires a "T"'):
+        make_layered_model(make_grid(2),
+                           free_surface=SplitExplicitFreeSurface(substeps=8),
+                           bottom_height=bottom, buoyancy="linear_eos")
+    m = make_layered_model(make_grid(2),
+                           free_surface=SplitExplicitFreeSurface(substeps=8),
+                           bottom_height=bottom, tracers=("T", "S"))
+    with pytest.raises(ValueError, match="unknown tracer"):
+        layered_initial_state(m, c={"X": lambda l, p, z: 0.0})
