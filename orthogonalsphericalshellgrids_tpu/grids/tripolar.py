@@ -368,12 +368,26 @@ def build_tripolar_arrays(
         else:
             metrics[name][: Hy + 1, :] = ll[name][:, None]
 
-    # z coordinate (src/tripolar_grid.jl:91: generate_coordinate over a (z_bottom, z_top)
-    # tuple -> uniform spacing).
-    z0, z1 = float(z[0]), float(z[1])
-    z_f = np.linspace(z0, z1, Nz + 1)
+    # z coordinate (src/tripolar_grid.jl:91: generate_coordinate over a (z_bottom,
+    # z_top) tuple -> uniform spacing; Oceananigans's generate_coordinate also accepts
+    # an interface ARRAY -> stretched layers, supported here the same way).
+    z_seq = np.asarray(z, np.float64).ravel()
+    if z_seq.size == 2:
+        z0, z1 = float(z_seq[0]), float(z_seq[1])
+        z_f = np.linspace(z0, z1, Nz + 1)
+        z_interfaces = None
+    elif z_seq.size == Nz + 1:
+        if not np.all(np.diff(z_seq) > 0):
+            raise ValueError("z interfaces must be strictly increasing (bottom to top)")
+        z_f = z_seq
+        z0, z1 = float(z_f[0]), float(z_f[-1])
+        z_interfaces = tuple(float(v) for v in z_f)
+    else:
+        raise ValueError(
+            f"z must be a (z_bottom, z_top) tuple or Nz+1={Nz + 1} interfaces, "
+            f"got {z_seq.size} values")
     z_c = 0.5 * (z_f[:-1] + z_f[1:])
-    dz = (z1 - z0) / Nz
+    dz = (z1 - z0) / Nz  # MEAN spacing; per-layer thickness lives in z_f
     Lz = z1 - z0
 
     out = dict(coords)
@@ -387,6 +401,7 @@ def build_tripolar_arrays(
         first_pole_longitude=float(first_pole_longitude),
         z_bounds=(z0, z1),
         phi_spacing=phi_spacing,
+        z_interfaces=z_interfaces,
     )
     return out
 
@@ -408,7 +423,7 @@ _META_FIELDS = [
     "Nx", "Ny", "Nz", "Hx", "Hy", "Hz",
     "radius", "Lz", "dz",
     "southernmost_latitude", "north_poles_latitude", "first_pole_longitude",
-    "z_bounds", "phi_spacing",
+    "z_bounds", "phi_spacing", "z_interfaces",
 ]
 
 
@@ -441,6 +456,9 @@ class TripolarGrid:
     # optional latitude-spacing law (callable, static): None = uniform placement;
     # otherwise rows are placed by the jitted Newton shooting solve (newton_phi_nodes)
     phi_spacing: Any = None
+    # stretched vertical coordinate: tuple of Nz+1 interface positions (bottom->top)
+    # when z was given as an interface array; None = uniform layers over z_bounds
+    z_interfaces: Any = None
 
     # ---- construction ----
     @staticmethod
@@ -557,7 +575,7 @@ def with_halo(grid: TripolarGrid, new_halo) -> TripolarGrid:
         southernmost_latitude=grid.southernmost_latitude,
         halo=tuple(new_halo),
         radius=grid.radius,
-        z=grid.z_bounds,
+        z=grid.z_interfaces if grid.z_interfaces is not None else grid.z_bounds,
         north_poles_latitude=grid.north_poles_latitude,
         first_pole_longitude=grid.first_pole_longitude,
         dtype=grid.dtype,

@@ -82,7 +82,7 @@ def layered_tracer_content(model, state, field="c"):
     g = model.grid
     w = seam_row_weights(g.Ny, model.dtype)
     c = getattr(state, field)
-    vol = model.mask_c3 * model.dz * g.az_cc
+    vol = model.mask_c3 * model.dz3 * g.az_cc  # dz3: per-layer (stretched-aware)
     if field == "c":
         c4 = _as_tracer4(model, c)
         out = jnp.sum((c4 * vol)[..., g.interior2d[0], g.interior2d[1]] * w,

@@ -102,7 +102,8 @@ class LayeredModel:
     bot_v: Any
     # static metadata
     nz: int
-    dz: float
+    dz: tuple        # per-layer thickness [m], surface-first (uniform -> equal entries)
+    dzc: tuple       # center-to-center spacing at the Nz-1 interior interfaces
     buoyancy: str    # "none" | "tracer_b" (prognostic b) | "linear_eos" (b from T/S)
     kappa_v: float   # explicit vertical tracer diffusivity (m^2/s; 0 disables)
     nu_v: float      # explicit vertical viscosity (m^2/s; 0 disables)
@@ -118,6 +119,16 @@ class LayeredModel:
     def has_b(self) -> bool:
         """True when ``b`` is a prognostic tracer (BuoyancyTracer mode)."""
         return self.buoyancy == "tracer_b"
+
+    @property
+    def dz3(self):
+        """(Nz, 1, 1) per-layer thickness, broadcastable against field stacks."""
+        return jnp.asarray(self.dz, self.dtype).reshape(-1, 1, 1)
+
+    @property
+    def dzc3(self):
+        """(Nz-1, 1, 1) center-to-center spacing at the interior interfaces."""
+        return jnp.asarray(self.dzc, self.dtype).reshape(-1, 1, 1)
 
     @property
     def grid(self):
@@ -137,7 +148,7 @@ for _cls, _data, _meta in [
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
       "bot_u", "bot_v"],
-     ["nz", "dz", "buoyancy", "kappa_v", "nu_v", "tracer_names",
+     ["nz", "dz", "dzc", "buoyancy", "kappa_v", "nu_v", "tracer_names",
       "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
     jax.tree_util.register_dataclass(_cls, data_fields=_data, meta_fields=_meta)
@@ -203,11 +214,8 @@ def make_layered_model(
                       wind_stress=wind_stress, bottom_drag=bottom_drag,
                       nu_h=nu_h, kappa_h=kappa_h)
     nz = grid.Nz
-    z0, z1 = grid.z_bounds
-    dz = (z1 - z0) / nz
-
-    # Layer-center depths, k = 0 at the surface (z decreasing with k).
-    zc = np.asarray([z1 - (k + 0.5) * dz for k in range(nz)], np.float64)
+    # Layer-center depths / thicknesses, k = 0 at the surface (stretched-aware).
+    zc, dz_layers, dzc_layers = _layer_geometry(grid)
 
     # Full-cell GridFittedBottom: layer cell fluid iff its center is above the bottom
     # AND the column itself is fluid (h_c > 0 — keeps the pole/land masking identical
@@ -235,8 +243,9 @@ def make_layered_model(
     # normalized by the same thickness the layer fluxes carry. With the continuous
     # depth, a bottom that isn't layer-aligned (e.g. 950 m in 250 m layers → Σdz=750)
     # would leave a barotropic-baroclinic residual every step.
-    dzu = dz * mask_u3
-    dzv = dz * mask_v3
+    dz3 = jnp.asarray(dz_layers, dt).reshape(-1, 1, 1)
+    dzu = dz3 * mask_u3
+    dzv = dz3 * mask_v3
     return LayeredModel(
         baro=baro,
         mask_c3=mask_c3,
@@ -249,7 +258,8 @@ def make_layered_model(
         inv_h_u=_inv(jnp.sum(dzu, axis=0)),
         inv_h_v=_inv(jnp.sum(dzv, axis=0)),
         nz=nz,
-        dz=float(dz),
+        dz=tuple(float(v) for v in dz_layers),
+        dzc=tuple(float(v) for v in dzc_layers),
         buoyancy=mode,
         kappa_v=float(kappa_v),
         nu_v=float(nu_v),
@@ -275,8 +285,7 @@ def layered_initial_state(model: LayeredModel, u=None, v=None, c=None, b=None,
     g = model.grid
     dt = model.dtype
     nz = model.nz
-    z0, z1 = g.z_bounds
-    zc = np.asarray([z1 - (k + 0.5) * model.dz for k in range(nz)], np.float64)
+    zc, _, _ = _layer_geometry(g)
 
     def sample(fn, lam, phi):
         if fn is None:
@@ -355,6 +364,22 @@ def vertical_velocity(model: LayeredModel, u, v):
     return jnp.concatenate([-below, jnp.zeros_like(hdiv[:1])], axis=0)
 
 
+def _layer_geometry(grid: TripolarGrid):
+    """(zc, dz, dzc) surface-first in float64: layer-center depths, per-layer
+    thicknesses, and interior-interface center spacings — from the grid's interface
+    positions (stretched when ``z_interfaces`` is set, else uniform over z_bounds)."""
+    if grid.z_interfaces is not None:
+        z_f = np.asarray(grid.z_interfaces, np.float64)
+    else:
+        z0, z1 = grid.z_bounds
+        z_f = np.linspace(z0, z1, grid.Nz + 1)
+    zf = z_f[::-1]                        # surface-first: zf[0] = top
+    dz = zf[:-1] - zf[1:]                 # positive layer thickness, k = 0 surface
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    dzc = 0.5 * (dz[:-1] + dz[1:])
+    return zc, dz, dzc
+
+
 def _as_tracer4(model: LayeredModel, c):
     """(n_tracers·Nz, Yb, Xb) tracer-major plane stack -> (n, Nz, Yb, Xb) view
     (identity reshape for a single tracer)."""
@@ -386,11 +411,12 @@ def _zcat(parts):
     return jnp.concatenate(parts, axis=-3)
 
 
-def _w_advect(w_face, q, dz):
+def _w_advect(w_face, q, dzc):
     """Advective-form vertical transport ``w ∂z q`` at layer points from interface
-    velocities ``w_face`` (Nz+1, ...) co-located with q horizontally. Surface and
-    floor interfaces contribute zero (no flux through the boundaries)."""
-    dq = (_zs(q, 0, -1) - _zs(q, 1, None)) / dz   # ∂z q at interior interfaces 1..Nz-1
+    velocities ``w_face`` (Nz+1, ...) co-located with q horizontally. The interface
+    gradient spans the center-to-center spacing ``dzc`` (= dz on uniform layers).
+    Surface and floor interfaces contribute zero (no flux through the boundaries)."""
+    dq = (_zs(q, 0, -1) - _zs(q, 1, None)) / dzc  # ∂z q at interior interfaces 1..Nz-1
     contrib = _zs(w_face, 1, -1) * dq
     zero = jnp.zeros_like(_zs(q, 0, 1))
     upper = _zcat([zero, contrib])   # interface k term, layer k
@@ -399,9 +425,9 @@ def _w_advect(w_face, q, dz):
 
 
 def _vertical_tracer_div(w, c, dz):
-    """-δz(w c̃)/dz with Centered interface reconstruction (the reference's
+    """-δz(w c̃)/dz_k with Centered interface reconstruction (the reference's
     FluxFormAdvection z slot) and ZERO flux through surface and floor — total content
-    telescopes to exact conservation."""
+    Σ G·dz telescopes to exact conservation (per-layer ``dz`` included)."""
     cbar = 0.5 * (_zs(c, 0, -1) + _zs(c, 1, None))   # interior interfaces 1..Nz-1
     F = _zs(w, 1, -1) * cbar
     zero = jnp.zeros_like(_zs(c, 0, 1))
@@ -409,10 +435,11 @@ def _vertical_tracer_div(w, c, dz):
     return -(_zs(Ffull, 0, -1) - _zs(Ffull, 1, None)) / dz
 
 
-def _vertical_laplacian(q, dz, mask):
-    """Explicit δz(κ δz q)/dz² with zero-flux boundaries and solid-cell masking."""
+def _vertical_laplacian(q, dz, dzc, mask):
+    """Explicit δz(κ δz q) with zero-flux boundaries and solid-cell masking: the
+    interface flux gradient spans ``dzc``, the divergence the layer thickness ``dz``."""
     # flux only between fluid cells
-    dq = (_zs(q, 0, -1) - _zs(q, 1, None)) / dz * (_zs(mask, 0, -1) * _zs(mask, 1, None))
+    dq = (_zs(q, 0, -1) - _zs(q, 1, None)) / dzc * (_zs(mask, 0, -1) * _zs(mask, 1, None))
     zero = jnp.zeros_like(_zs(q, 0, 1))
     Ffull = _zcat([zero, dq, zero])
     return (_zs(Ffull, 0, -1) - _zs(Ffull, 1, None)) / dz
@@ -420,7 +447,8 @@ def _vertical_laplacian(q, dz, mask):
 
 def _hydrostatic_pressure(b, dz):
     """Kinematic pressure p_k = -∫_{z_k}^0 b dz' at layer centers (k = 0 surface):
-    p_0 = -b_0 dz/2, p_k = p_{k-1} - (b_{k-1} + b_k) dz/2 — via one cumsum."""
+    p_0 = -b_0 dz_0/2, p_k = p_{k-1} - (b_{k-1} dz_{k-1} + b_k dz_k)/2 — via one
+    cumsum; ``dz`` may be the per-layer (Nz, 1, 1) thickness (stretched layers)."""
     csum = jnp.cumsum(b * dz, axis=0)
     return -(csum - 0.5 * dz * b)
 
@@ -469,8 +497,8 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
 
     # --- vertical momentum advection (advective form, centered)
     w = vertical_velocity(model, u, v)
-    Gu = Gu - _w_advect(ixf(w), u, model.dz)
-    Gv = Gv - _w_advect(iyf(w), v, model.dz)
+    Gu = Gu - _w_advect(ixf(w), u, model.dzc3)
+    Gv = Gv - _w_advect(iyf(w), v, model.dzc3)
 
     # --- baroclinic pressure gradient: p = -∫ b dz, with b either the prognostic
     # BuoyancyTracer or diagnosed from T/S via the linear EOS (SeawaterBuoyancy)
@@ -479,27 +507,27 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
             b_eff = _linear_eos_buoyancy(model, c)
         else:
             b_eff = b
-        p = _hydrostatic_pressure(b_eff, model.dz)
+        p = _hydrostatic_pressure(b_eff, model.dz3)
         Gu = Gu - dxf(p) * m.inv_dx_fc
         Gv = Gv - dyf(p) * m.inv_dy_cf
 
     if model.nu_v > 0.0:
-        Gu = Gu + model.nu_v * _vertical_laplacian(u, model.dz, model.mask_u3)
-        Gv = Gv + model.nu_v * _vertical_laplacian(v, model.dz, model.mask_v3)
+        Gu = Gu + model.nu_v * _vertical_laplacian(u, model.dz3, model.dzc3, model.mask_u3)
+        Gv = Gv + model.nu_v * _vertical_laplacian(v, model.dz3, model.dzc3, model.mask_v3)
 
     # --- optional forcing / closures (compiled out when disabled)
     if m.wind:
         # surface stress accelerates the top layer
-        Gu = Gu.at[0].add(m.taux / model.dz)
-        Gv = Gv.at[0].add(m.tauy / model.dz)
+        Gu = Gu.at[0].add(m.taux / model.dz[0])
+        Gv = Gv.at[0].add(m.tauy / model.dz[0])
     if m.drag_type == "linear":
-        Gu = Gu - (m.drag_coeff / model.dz) * u * model.bot_u
-        Gv = Gv - (m.drag_coeff / model.dz) * v * model.bot_v
+        Gu = Gu - (m.drag_coeff / model.dz3) * u * model.bot_u
+        Gv = Gv - (m.drag_coeff / model.dz3) * v * model.bot_v
     elif m.drag_type == "quadratic":
         sp_u = jnp.sqrt(u * u + ixf(iyc(v)) ** 2)
         sp_v = jnp.sqrt(v * v + iyf(ixc(u)) ** 2)
-        Gu = Gu - (m.drag_coeff / model.dz) * sp_u * u * model.bot_u
-        Gv = Gv - (m.drag_coeff / model.dz) * sp_v * v * model.bot_v
+        Gu = Gu - (m.drag_coeff / model.dz3) * sp_u * u * model.bot_u
+        Gv = Gv - (m.drag_coeff / model.dz3) * sp_v * v * model.bot_v
     if m.nu_h > 0.0:
         from ..ops.closures import laplacian_u, laplacian_v
 
@@ -510,7 +538,7 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
     Gv = Gv * model.mask_v3
 
     # --- tracers: flux-form WENO-5 (x, y) + Centered (z)
-    inv_vol = model.mask_c3 * _inv(g.az_cc * model.dz)
+    inv_vol = model.mask_c3 * _inv(g.az_cc * model.dz3)
 
     def tracer_tendency(cq):
         if m.tracer_advection == "weno5":
@@ -522,9 +550,9 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
         fx = u * model.dzu * g.dy_fc * cx
         fy = v * model.dzv * g.dx_cf * cy
         G = -(dxc(fx) + dyc(fy)) * inv_vol
-        G = G + _vertical_tracer_div(w, cq, model.dz) * model.mask_c3
+        G = G + _vertical_tracer_div(w, cq, model.dz3) * model.mask_c3
         if model.kappa_v > 0.0:
-            G = G + model.kappa_v * _vertical_laplacian(cq, model.dz, model.mask_c3) \
+            G = G + model.kappa_v * _vertical_laplacian(cq, model.dz3, model.dzc3, model.mask_c3) \
                 * model.mask_c3
         if m.kappa_h > 0.0:
             from ..ops.closures import laplacian_c

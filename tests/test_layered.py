@@ -370,3 +370,76 @@ def test_layered_tracer_validation():
                            bottom_height=bottom, tracers=("T", "S"))
     with pytest.raises(ValueError, match="unknown tracer"):
         layered_initial_state(m, c={"X": lambda l, p, z: 0.0})
+
+
+# --------------------------------------------------------------------------------------
+# Stretched vertical coordinate (z as an interface array)
+# --------------------------------------------------------------------------------------
+
+def make_stretched_grid(z_faces):
+    return osg.TripolarGrid.make((48, 32, len(z_faces) - 1), dtype=jnp.float64,
+                                 z=z_faces, first_pole_longitude=LAM_P,
+                                 north_poles_latitude=PHI_P)
+
+
+def test_z_interface_validation():
+    with pytest.raises(ValueError, match="strictly increasing"):
+        osg.TripolarGrid.make((8, 8, 2), z=[0.0, -500.0, -1000.0])
+    with pytest.raises(ValueError, match="interfaces"):
+        osg.TripolarGrid.make((8, 8, 3), z=[-1000.0, -500.0, 0.0])  # Nz+1=4 needed
+
+
+def test_uniform_interfaces_match_bounds():
+    """z given as uniform interfaces must build the identical model/trajectory as the
+    (z0, z1) tuple form."""
+    ga = make_grid(4)
+    gb = make_stretched_grid(np.linspace(-1000.0, 0.0, 5))
+    assert gb.z_interfaces is not None
+    ma = make_layered_model(ga, free_surface=SplitExplicitFreeSurface(substeps=8),
+                            bottom_height=bottom, buoyancy=True)
+    mb = make_layered_model(gb, free_surface=SplitExplicitFreeSurface(substeps=8),
+                            bottom_height=bottom, buoyancy=True)
+    np.testing.assert_allclose(ma.dz, mb.dz, rtol=0, atol=1e-12)
+
+    def init(m):
+        return layered_initial_state(
+            m, u=lambda l, p, z: ui(l, p), c=lambda l, p, z: ci(l, p),
+            b=lambda l, p, z: 1e-4 * (z + 500.0) / 500.0)
+
+    sa = run_layered(ma, init(ma), 3)
+    sb = run_layered(mb, init(mb), 3)
+    np.testing.assert_array_equal(np.asarray(sa.u), np.asarray(sb.u))
+    np.testing.assert_array_equal(np.asarray(sa.c), np.asarray(sb.c))
+
+
+def test_stretched_rest_state_and_conservation():
+    """On STRETCHED layers (thin near the surface), a horizontally uniform
+    stratification must stay exactly at rest, tracer content must be conserved under
+    flow, and with_halo must preserve the stretching."""
+    from orthogonalsphericalshellgrids_tpu.models.diagnostics import (
+        layered_tracer_content)
+
+    z_faces = np.array([-1000.0, -700.0, -450.0, -250.0, -100.0, 0.0])
+    grid = make_stretched_grid(z_faces)
+    model = make_layered_model(grid, free_surface=SplitExplicitFreeSurface(substeps=8),
+                               bottom_height=bottom, buoyancy=True)
+    # per-layer thickness, surface-first: 100, 150, 200, 250, 300
+    np.testing.assert_allclose(model.dz, [100.0, 150.0, 200.0, 250.0, 300.0])
+    assert model.grid_ext.z_interfaces == grid.z_interfaces  # with_halo preserved it
+
+    # resting, horizontally uniform stable stratification
+    s = layered_initial_state(model, b=lambda l, p, z: 1e-4 * (z + 1000.0) / 1000.0)
+    s = run_layered(model, s, 5)
+    assert float(jnp.max(jnp.abs(s.u))) < 1e-14
+    assert float(jnp.max(jnp.abs(s.v))) < 1e-14
+
+    # flowing state conserves per-layer-weighted content
+    s = layered_initial_state(
+        model, u=lambda l, p, z: ui(l, p), v=lambda l, p, z: vi(l, p),
+        c=lambda l, p, z: 1.0 + ci(l, p),
+        b=lambda l, p, z: 1e-4 * (z + 1000.0) / 1000.0)
+    q0 = float(layered_tracer_content(model, s))
+    s = run_layered(model, s, 5)
+    q1 = float(layered_tracer_content(model, s))
+    assert abs(q1 - q0) <= 1e-12 * abs(q0), (q0, q1)
+    assert float(jnp.max(jnp.abs(s.u))) < 5.0
