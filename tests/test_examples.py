@@ -58,3 +58,22 @@ def test_baroclinic_front_example(tmp_path):
     last = np.asarray(us[len(us) - 1])
     assert np.isfinite(last).all()
     assert np.abs(last).max() > 0.0
+
+
+def test_ts_gyre_example(tmp_path):
+    """Multi-tracer / linear-EOS / stretched-z / wind-forced example: a short run
+    must complete, produce finite bounded tracers, and spin up flow from rest."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "wind_driven_ts_gyre.py"),
+         "--platform", "cpu", "--nx", "48", "--ny", "32", "--nz", "3",
+         "--days", "0.1", "--dt", "300",
+         "--out", str(tmp_path / "gyre.npz")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    from orthogonalsphericalshellgrids_tpu.utils import FieldTimeSeries
+    T = np.asarray(FieldTimeSeries(str(tmp_path / "gyre.npz"), "T_surface")[0])
+    u = np.asarray(FieldTimeSeries(str(tmp_path / "gyre.npz"), "u_surface")[0])
+    assert np.isfinite(T).all() and np.isfinite(u).all()
+    assert T.max() <= 20.0 + 1e-3 and T.min() >= 0.0  # advection stays in range
+    assert np.abs(u).max() > 0.0                       # wind spun up flow
