@@ -30,7 +30,7 @@ comparison.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +115,7 @@ class HydrostaticModel:
     tracer_advection: str
     momentum_advection: str
     tracer_names: tuple      # ("c",) -> State.c is (Ye, Xe); else (n, Ye, Xe) stacked
+    forcing: tuple           # ((target, fn), ...): user forcing terms added to G
     wind: bool
     drag_type: str      # "none" | "linear" | "quadratic"
     drag_coeff: float
@@ -135,7 +136,7 @@ _MODEL_ARRAYS = [
     "taux", "tauy",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
-               "tracer_advection", "momentum_advection", "tracer_names",
+               "tracer_advection", "momentum_advection", "tracer_names", "forcing",
                "wind", "drag_type", "drag_coeff", "nu_h", "kappa_h"]
 
 for _cls, _data, _meta in [
@@ -220,6 +221,11 @@ def make_model(
     momentum_advection: str = "weno_vector_invariant",
     tracers: tuple = ("c",),  # tracer names (the reference's ``tracers=(:c, ...)``);
                               # >1 name stacks State.c as (n_tracers, Ye, Xe)
+    forcing=None,           # {target: fn} user forcing (Oceananigans ``Forcing``):
+                            # target in {"u","v"} | tracers; fn(λ°, φ°, t, fields) ->
+                            # tendency contribution [per s]; fields has .u/.v/.c
+                            # (halo-filled) for field-dependent terms (sponges,
+                            # relaxation). Must be jnp-traceable (jitted with t traced).
     wind_stress=None,       # callable (λ°, φ°) -> (τx, τy) kinematic stress [m²/s²]
     bottom_drag=None,       # ("linear", r [m/s]) or ("quadratic", Cd [-])
     nu_h: float = 0.0,      # horizontal viscosity [m²/s]
@@ -242,6 +248,12 @@ def make_model(
     tracers = tuple(str(t) for t in tracers)
     if len(tracers) == 0 or len(set(tracers)) != len(tracers):
         raise ValueError(f"tracers must be a non-empty tuple of unique names, got {tracers!r}")
+    forcing = dict(forcing or {})
+    valid_targets = {"u", "v", *tracers}
+    unknown = set(forcing) - valid_targets
+    if unknown:
+        raise ValueError(f"forcing targets {sorted(unknown)} not in {sorted(valid_targets)}")
+    forcing = tuple(forcing.items())
     hy_ext = max(free_surface.required_y_halo, grid.Hy)
     # The x-halo is widened like y so the barotropic loop is communication- AND
     # wrap-free in both directions (validity shrinks one row/column per substep).
@@ -372,6 +384,7 @@ def make_model(
         tracer_advection=tracer_advection,
         momentum_advection=momentum_advection,
         tracer_names=tracers,
+        forcing=forcing,
         taux=taux,
         tauy=tauy,
         wind=wind,
@@ -460,9 +473,19 @@ def vorticity(model: HydrostaticModel, u, v):
     return (dxf(g.dy_cf * v) - dyf(g.dx_fc * u)) * model.inv_az_ff
 
 
-def tendencies(model: HydrostaticModel, u, v, c):
+class ForcingFields(NamedTuple):
+    """Halo-filled prognostics handed to user forcing functions (Oceananigans's
+    ``field_dependencies``): relaxation/sponge terms read these."""
+
+    u: Any
+    v: Any
+    c: Any
+
+
+def tendencies(model: HydrostaticModel, u, v, c, t=0.0):
     """Interior tendencies G_u, G_v (vector-invariant, no surface-pressure term — that
-    is barotropic) and G_c (flux-form WENO). Inputs must be halo-filled."""
+    is barotropic) and G_c (flux-form WENO). Inputs must be halo-filled; ``t`` is the
+    model time handed to user forcing functions."""
     g = model.grid
     ib = model.ib
 
@@ -532,6 +555,23 @@ def tendencies(model: HydrostaticModel, u, v, c):
 
         Gc = Gc + model.kappa_h * laplacian_c(g, c, ib.mask_c, ib.mask_u, ib.mask_v)
 
+    # --- user forcing (Oceananigans ``Forcing``): pointwise, so the interior/boundary
+    # overlap split stays exact (strip passes see row-sliced λ/φ and strip fields)
+    if model.forcing:
+        fields = ForcingFields(u=u, v=v, c=c)
+        for name, fn in model.forcing:
+            if name == "u":
+                Gu = Gu + fn(g.lam_fc, g.phi_fc, t, fields) * ib.mask_u
+            elif name == "v":
+                Gv = Gv + fn(g.lam_cf, g.phi_cf, t, fields) * ib.mask_v
+            else:
+                contrib = fn(g.lam_cc, g.phi_cc, t, fields) * ib.mask_c
+                if c.ndim == 2:
+                    Gc = Gc + contrib
+                else:
+                    idx = model.tracer_names.index(name)
+                    Gc = Gc.at[idx].add(contrib)
+
     return Gu, Gv, Gc
 
 
@@ -584,12 +624,12 @@ def tendencies_overlapped(model: HydrostaticModel, state: State, spmd: Spmd):
     S_full = fill_halos_spmd_batch(S0, locs_uvc, signs_uvc, g.Nx, ny, g.Hx, H,
                                    spmd)
 
-    G_bulk = tendencies(model, *_unstack_uvc(S_stale, state.c))
+    G_bulk = tendencies(model, *_unstack_uvc(S_stale, state.c), t=state.t)
 
     def strip(r0):
         m_s = _model_rows(model, r0, r0 + 3 * H)
         Ss = S_full[:, r0 : r0 + 3 * H, :]
-        return tendencies(m_s, *_unstack_uvc(Ss, state.c))
+        return tendencies(m_s, *_unstack_uvc(Ss, state.c), t=state.t)
 
     G_lo = strip(0)            # patches interior rows [H, 2H)
     G_hi = strip(ny - H)       # patches interior rows [ny, ny+H)
@@ -708,7 +748,7 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
         Gu, Gv, Gc, _ = tendencies_overlapped(model, state, spmd)
     else:
         u, v, c = SB[0], SB[1], SB[2]
-        Gu, Gv, Gc = tendencies(model, u, v, c)
+        Gu, Gv, Gc = tendencies(model, u, v, c, t=state.t)
     Gu_s = w1 * Gu - w2 * state.Gu
     Gv_s = w1 * Gv - w2 * state.Gv
     Gc_s = w1 * Gc - w2 * state.Gc

@@ -104,6 +104,8 @@ class LayeredModel:
     nz: int
     dz: tuple        # per-layer thickness [m], surface-first (uniform -> equal entries)
     dzc: tuple       # center-to-center spacing at the Nz-1 interior interfaces
+    zc: tuple        # layer-center depths [m], surface-first
+    forcing: tuple   # ((target, fn), ...): fn(λ°, φ°, z, t, fields) -> tendency term
     buoyancy: str    # "none" | "tracer_b" (prognostic b) | "linear_eos" (b from T/S)
     kappa_v: float   # explicit vertical tracer diffusivity (m^2/s; 0 disables)
     nu_v: float      # explicit vertical viscosity (m^2/s; 0 disables)
@@ -148,8 +150,8 @@ for _cls, _data, _meta in [
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
       "bot_u", "bot_v"],
-     ["nz", "dz", "dzc", "buoyancy", "kappa_v", "nu_v", "tracer_names",
-      "g_b", "alpha_T", "beta_S", "T0", "S0"]),
+     ["nz", "dz", "dzc", "zc", "forcing", "buoyancy", "kappa_v", "nu_v",
+      "tracer_names", "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
     jax.tree_util.register_dataclass(_cls, data_fields=_data, meta_fields=_meta)
 
@@ -180,6 +182,8 @@ def make_layered_model(
     use_pallas: bool | None = None,
     tracer_advection: str = "weno5",
     momentum_advection: str = "weno_vector_invariant",
+    forcing=None,           # {target: fn} with target in {"u","v","b"} | tracers;
+                            # fn(λ°, φ°, z[m], t, fields) -> per-layer tendency term
 ) -> LayeredModel:
     """Assemble the layered model. The embedded single-layer model provides the
     barotropic engine (widened-halo grid, SM05 weights, Pallas subcycle kernel) and
@@ -207,6 +211,12 @@ def make_layered_model(
         raise ValueError(f"unknown buoyancy mode {buoyancy!r}")
     else:
         mode = "tracer_b" if buoyancy is True else "none"
+    forcing = dict(forcing or {})
+    valid_targets = {"u", "v", *tracers} | ({"b"} if mode == "tracer_b" else set())
+    unknown = set(forcing) - valid_targets
+    if unknown:
+        raise ValueError(f"forcing targets {sorted(unknown)} not in {sorted(valid_targets)}")
+    forcing = tuple(forcing.items())
     baro = make_model(grid, free_surface=free_surface, bottom_height=bottom_height,
                       coriolis=coriolis, rotation_rate=rotation_rate,
                       use_pallas=use_pallas, tracer_advection=tracer_advection,
@@ -260,6 +270,8 @@ def make_layered_model(
         nz=nz,
         dz=tuple(float(v) for v in dz_layers),
         dzc=tuple(float(v) for v in dzc_layers),
+        zc=tuple(float(v) for v in zc),
+        forcing=forcing,
         buoyancy=mode,
         kappa_v=float(kappa_v),
         nu_v=float(nu_v),
@@ -472,10 +484,11 @@ def _linear_eos_buoyancy(model: LayeredModel, c):
 # Dynamics
 # --------------------------------------------------------------------------------------
 
-def layered_tendencies(model: LayeredModel, u, v, c, b):
+def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     """Interior tendencies per layer. Horizontal terms are the single-layer stencils
     broadcast over the leading z axis; vertical advection and the baroclinic pressure
-    gradient are the layered additions. Inputs must be halo-filled."""
+    gradient are the layered additions. Inputs must be halo-filled; ``t`` is the model
+    time handed to user forcing functions."""
     g = model.grid
     m = model.baro
 
@@ -566,6 +579,26 @@ def layered_tendencies(model: LayeredModel, u, v, c, b):
     Gc = _as_tracer_stack(model, tracer_tendency(_as_tracer4(model, c)))
     Gb = tracer_tendency(b) if model.has_b else jnp.zeros_like(b)
 
+    # --- user forcing (Oceananigans ``Forcing``), pointwise per layer: fn receives
+    # the (Nz, 1, 1) layer-center depths so (λ, φ, z) broadcast to (Nz, Yb, Xb)
+    if model.forcing:
+        from .hydrostatic import ForcingFields
+
+        nz = model.nz
+        z3 = jnp.asarray(model.zc, model.dtype).reshape(-1, 1, 1)
+        fields = ForcingFields(u=u, v=v, c=c)
+        for name, fn in model.forcing:
+            if name == "u":
+                Gu = Gu + fn(g.lam_fc, g.phi_fc, z3, t, fields) * model.mask_u3
+            elif name == "v":
+                Gv = Gv + fn(g.lam_cf, g.phi_cf, z3, t, fields) * model.mask_v3
+            elif name == "b":
+                Gb = Gb + fn(g.lam_cc, g.phi_cc, z3, t, fields) * model.mask_c3
+            else:
+                idx = model.tracer_names.index(name)
+                contrib = fn(g.lam_cc, g.phi_cc, z3, t, fields) * model.mask_c3
+                Gc = Gc.at[idx * nz : (idx + 1) * nz].add(contrib)
+
     return Gu, Gv, Gc, Gb
 
 
@@ -608,7 +641,7 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
                       [CC, FC, CF], [1, -1, -1], spmd)
     eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
 
-    Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b)
+    Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b, t=state.t)
 
     first = state.iteration == 0
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)

@@ -205,3 +205,140 @@ def test_layered_bottom_drag_acts_on_bottom_layer():
     top = np.abs(u[0] * mask[0])[I].sum() / mask[0][I].sum()
     bot = np.abs(u[-1] * mask[-1])[I].sum() / mask[-1][I].sum()
     assert bot < 0.98 * top, (top, bot)
+
+
+# --------------------------------------------------------------------------------------
+# User forcing functions (Oceananigans ``Forcing``: time- and field-dependent terms)
+# --------------------------------------------------------------------------------------
+
+def test_tracer_relaxation_forcing():
+    """Relaxation forcing F_c = -(c - c*)/tau with no flow: advection vanishes, so
+    every wet cell must follow the quasi-AB2 recurrence of the scalar ODE exactly."""
+    from orthogonalsphericalshellgrids_tpu.models.hydrostatic import _CHI
+
+    tau, c_star, dt, n = 3600.0, 1.0, 120.0, 6
+    model = make_model(
+        make_grid(), free_surface=SplitExplicitFreeSurface(substeps=6),
+        bottom_height=bottom,
+        forcing={"c": lambda lam, phi, t, f: -(f.c - c_star) / tau})
+    state = initial_state(model)   # at rest, c = 0
+
+    s = run(model, state, n, dt=dt)
+
+    # scalar quasi-AB2 replica (forward Euler first step)
+    cs, g_prev = 0.0, 0.0
+    for k in range(n):
+        g_now = -(cs - c_star) / tau
+        w1, w2 = (1.0, 0.0) if k == 0 else (1.5 + _CHI, 0.5 + _CHI)
+        cs = cs + dt * (w1 * g_now - w2 * g_prev)
+        g_prev = g_now
+    wet = np.asarray(model.ib.mask_c) > 0
+    got = np.asarray(s.c)[wet & np.isfinite(np.asarray(s.c))]
+    np.testing.assert_allclose(got, cs, rtol=1e-12)
+
+
+def test_time_dependent_forcing_sees_model_time():
+    """A u-forcing A·cos(ω t): the tendency evaluated through the step must use the
+    state's time (pinned by differencing two starting times)."""
+    from orthogonalsphericalshellgrids_tpu.models.hydrostatic import tendencies, _fill
+    from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC
+
+    A, om = 1e-5, 2 * np.pi / 7200.0
+    model = make_model(
+        make_grid(), free_surface=SplitExplicitFreeSurface(substeps=6),
+        bottom_height=bottom,
+        forcing={"u": lambda lam, phi, t, f: A * jnp.cos(om * t) * jnp.ones_like(lam)})
+    state = initial_state(model)
+    g = model.grid
+    u = _fill(g, state.u, FC, -1)
+    v = _fill(g, state.v, CF, -1)
+    c = _fill(g, state.c, CC, 1)
+
+    Gu0, _, _ = jax.jit(tendencies)(model, u, v, c, 0.0)
+    Gu1, _, _ = jax.jit(tendencies)(model, u, v, c, 1800.0)
+    diff = np.asarray(Gu0 - Gu1)
+    expect = A * (1.0 - np.cos(om * 1800.0)) * np.asarray(model.ib.mask_u)
+    np.testing.assert_allclose(diff, expect, rtol=0, atol=1e-18)
+
+
+def test_forcing_validation():
+    with pytest.raises(ValueError, match="forcing targets"):
+        make_model(make_grid(), free_surface=SplitExplicitFreeSurface(substeps=6),
+                   bottom_height=bottom, forcing={"w": lambda *a: 0.0})
+    with pytest.raises(ValueError, match="forcing targets"):
+        make_layered_model(make_grid(3), free_surface=SplitExplicitFreeSurface(substeps=6),
+                           bottom_height=bottom,
+                           forcing={"b": lambda *a: 0.0})  # b not prognostic here
+
+
+def test_layered_forcing_z_dependence():
+    """Layered forcing receives the layer-center depths: a T relaxation toward a
+    z-profile must pull each layer toward its own target."""
+    tau = 1800.0
+    prof = lambda z: 10.0 + 5e-3 * z
+
+    model = make_layered_model(
+        make_grid(4), free_surface=SplitExplicitFreeSurface(substeps=6),
+        bottom_height=bottom, tracers=("T", "S"), buoyancy="linear_eos",
+        forcing={"T": lambda lam, phi, z, t, f: -(0.0 - prof(z)) / tau
+                 * jnp.ones_like(lam)})
+    state = layered_initial_state(model)   # T = S = 0 everywhere
+
+    s = jax.jit(layered_multi_step, static_argnums=(3,))(model, state, 60.0, 3)
+    nz = model.nz
+    zc = np.asarray(model.zc)
+    wet = np.asarray(model.mask_c3) > 0
+    T = np.asarray(s.c[:nz])
+    S = np.asarray(s.c[nz:])
+    assert np.all(np.abs(S[wet]) == 0.0)        # untargeted tracer untouched
+    for k in range(nz):
+        vals = T[k][wet[k]]
+        assert vals.size and np.allclose(vals, vals[0], rtol=1e-10)
+        # each layer moved toward ITS profile value: ratio across layers matches prof
+    r = np.array([T[k][wet[k]][0] for k in range(nz)])
+    np.testing.assert_allclose(r / r[0], prof(zc) / prof(zc[0]), rtol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_forcing_sharded_matches_serial():
+    """Time- and field-dependent forcing through the overlap-split sharded step must
+    match serial bitwise (the strip recompute sees row-sliced λ/φ and fields)."""
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute, gather_state, make_mesh, sharded_step_fn,
+    )
+
+    grid = osg.TripolarGrid.make((32, 48, 1), dtype=jnp.float64,
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bot2(lam, phi):
+        land = (((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+                | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+                | (phi < -78))
+        return np.where(land, 1.0, 0.0)
+
+    model = make_model(
+        grid, free_surface=SplitExplicitFreeSurface(substeps=6), bottom_height=bot2,
+        forcing={
+            "u": lambda lam, phi, t, f: 1e-6 * jnp.cos(2e-4 * t)
+            * jnp.sin(jnp.deg2rad(phi)),
+            "c": lambda lam, phi, t, f: -(f.c - 0.5) / 7200.0,
+        })
+    state = initial_state(model, u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+                          c=lambda lam, phi: np.sin(np.deg2rad(phi) * 4))
+
+    mesh = make_mesh(4)
+    dist_model, dist_state = distribute(model, state, mesh)
+    fn = sharded_step_fn(mesh, dist_model)
+    sj = jax.jit(step)
+
+    ss, ds = state, dist_state
+    for _ in range(4):
+        ss = sj(model, ss, 120.0)
+        ds = fn(ds, 120.0)
+
+    got = gather_state(ds, model, 4)
+    g = model.grid
+    for name in ("u", "v", "c"):
+        np.testing.assert_array_equal(
+            np.asarray(g.interior(getattr(got, name))),
+            np.asarray(g.interior(getattr(ss, name))), err_msg=name)
