@@ -2,4 +2,5 @@ from . import checkpoint, output, rotation, simulation
 from .checkpoint import load_checkpoint, save_checkpoint
 from .output import FieldTimeSeries, OutputWriter, ShardedOutputWriter
 from .rotation import rotation_angle, to_latlon_frame, to_native_frame
-from .simulation import IterationInterval, Simulation, TimeInterval, TimeStepWizard, progress_callback
+from .simulation import (Checkpointer, IterationInterval, NaNChecker, Simulation,
+                         TimeInterval, TimeStepWizard, progress_callback)

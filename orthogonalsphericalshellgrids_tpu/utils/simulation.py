@@ -29,6 +29,8 @@ __all__ = [
     "TimeStepWizard",
     "Simulation",
     "progress_callback",
+    "NaNChecker",
+    "Checkpointer",
 ]
 
 
@@ -94,6 +96,55 @@ def progress_callback(log=print):
     return cb
 
 
+class NaNChecker:
+    """Abort the run when a prognostic goes non-finite — Oceananigans installs this
+    on every simulation by default (its ``NaNChecker`` on the velocities, every 100
+    iterations); so does ``Simulation`` here (disable with ``nan_checker=False``)."""
+
+    def __init__(self, fields=("u",)):
+        self.fields = tuple(fields)
+
+    def __call__(self, sim: "Simulation"):
+        for name in self.fields:
+            arr = getattr(sim.state, name)
+            if not bool(jnp.all(jnp.isfinite(arr))):
+                raise RuntimeError(
+                    f"time step aborted: non-finite values in '{name}' at "
+                    f"iteration {sim.iteration}, t = {sim.time:.1f} s")
+
+
+class Checkpointer:
+    """Periodic checkpoint callback (the Oceananigans ``Checkpointer``): writes
+    iteration-stamped state checkpoints ``{prefix}_iteration{N}.npz`` (or orbax
+    directories without the ``.npz`` suffix). ``Checkpointer.latest(prefix)`` finds
+    the newest one for ``Simulation.run(pickup=...)``."""
+
+    def __init__(self, prefix: str, npz: bool = True):
+        self.prefix = str(prefix)
+        self.npz = bool(npz)
+
+    def path_for(self, iteration: int) -> str:
+        return f"{self.prefix}_iteration{iteration}" + (".npz" if self.npz else "")
+
+    def __call__(self, sim: "Simulation"):
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(self.path_for(sim.iteration), sim.state)
+
+    @staticmethod
+    def latest(prefix: str):
+        """Newest checkpoint path for ``prefix`` (by iteration number), or None."""
+        import glob
+        import re
+
+        best, best_it = None, -1
+        for p in glob.glob(f"{prefix}_iteration*"):
+            m = re.search(r"_iteration(\d+)", p)
+            if m and int(m.group(1)) > best_it:
+                best, best_it = p, int(m.group(1))
+        return best
+
+
 class Simulation:
     """Python driver around the jitted step function.
 
@@ -104,7 +155,7 @@ class Simulation:
 
     def __init__(self, model, state, dt: float,
                  stop_time: float = float("inf"), stop_iteration: int = 2**62,
-                 steps_per_block: int = 1):
+                 steps_per_block: int = 1, nan_checker: bool = True):
         from ..models.layered import LayeredModel, layered_multi_step, layered_step
 
         self.model = model
@@ -113,6 +164,8 @@ class Simulation:
         self.stop_time = float(stop_time)
         self.stop_iteration = int(stop_iteration)
         self.callbacks: list[tuple[Any, Callable]] = []
+        if nan_checker:
+            self.add_callback(NaNChecker(), IterationInterval(100))
         is_layered = isinstance(model, LayeredModel)
         self._step = jax.jit(layered_step if is_layered else step)
         # multi-step blocks amortize per-dispatch overhead; schedules still fire at
@@ -137,8 +190,25 @@ class Simulation:
     def add_callback(self, fn: Callable, schedule) -> None:
         self.callbacks.append((schedule, fn))
 
-    def run(self) -> State:
-        """The reference's ``run!`` loop (examples/bickley_jet.jl:89)."""
+    def run(self, pickup=None) -> State:
+        """The reference's ``run!`` loop (examples/bickley_jet.jl:89).
+
+        ``pickup``: a checkpoint path (or True to auto-find the newest one written by
+        an attached ``Checkpointer``) — the state is restored before stepping, the
+        Oceananigans ``run!(sim, pickup=true)`` semantics."""
+        if pickup:
+            from .checkpoint import load_checkpoint
+
+            path = pickup
+            if pickup is True:
+                for _, fn in self.callbacks:
+                    if isinstance(fn, Checkpointer):
+                        path = Checkpointer.latest(fn.prefix)
+                        break
+                if path is True or path is None:
+                    raise ValueError("pickup=True needs an attached Checkpointer "
+                                     "with at least one written checkpoint")
+            self.state = load_checkpoint(path, self.state)
         self.wall_start = time.time()
         it = self.iteration
         t = self.time

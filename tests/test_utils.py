@@ -151,3 +151,56 @@ def test_profiling_helpers(tmp_path):
     import os
     found = [f for root, _, fs in os.walk(logdir) for f in fs]
     assert found, "profiler trace produced no files"
+
+
+def test_nan_checker_aborts():
+    """The NaNChecker callback (installed by default, Oceananigans semantics) aborts
+    the run when a prognostic goes non-finite."""
+    import dataclasses as dc
+
+    import pytest
+
+    from orthogonalsphericalshellgrids_tpu.utils.simulation import (
+        IterationInterval, NaNChecker, Simulation,
+    )
+
+    model, state = make()
+    sim = Simulation(model, state, dt=30.0, stop_iteration=3)
+    assert any(isinstance(fn, NaNChecker) for _, fn in sim.callbacks)  # default
+
+    bad = dc.replace(state, u=state.u.at[10, 10].set(jnp.nan))
+    sim = Simulation(model, bad, dt=30.0, stop_iteration=3)
+    sim.add_callback(NaNChecker(), IterationInterval(1))
+    with pytest.raises(RuntimeError, match="non-finite"):
+        sim.run()
+
+
+def test_checkpointer_pickup(tmp_path):
+    """Periodic Checkpointer + run(pickup=True): resuming from the newest checkpoint
+    must reproduce the straight-through trajectory bitwise."""
+    from orthogonalsphericalshellgrids_tpu.utils.simulation import (
+        Checkpointer, IterationInterval, Simulation,
+    )
+
+    prefix = str(tmp_path / "ck")
+    model, state = make()
+
+    simA = Simulation(model, state, dt=30.0, stop_iteration=6)
+    simA.add_callback(Checkpointer(prefix), IterationInterval(3))
+    simA.run()
+    assert Checkpointer.latest(prefix).endswith("_iteration6.npz")
+
+    simB = Simulation(model, state, dt=30.0, stop_iteration=9)
+    simB.add_callback(Checkpointer(prefix), IterationInterval(3))
+    endB = simB.run(pickup=True)
+    assert int(endB.iteration) == 9
+
+    simC = Simulation(model, state, dt=30.0, stop_iteration=9)
+    endC = simC.run()
+    np.testing.assert_array_equal(np.asarray(endB.u), np.asarray(endC.u))
+    np.testing.assert_array_equal(np.asarray(endB.c), np.asarray(endC.c))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pickup=True"):
+        Simulation(model, state, dt=30.0, stop_iteration=1).run(pickup=True)
