@@ -10,9 +10,9 @@ denominator is MEASURED instead of guessed: the same Bickley-jet physics (WENO
 vector-invariant + 30-substep split-explicit free surface) run through this repo's
 XLA:CPU backend on this host — the reference's own execution vehicle (its CI and
 examples are CPU; `test/dependencies_for_runtests.jl:12`). Measured by
-benchmarks/cpu_reference_proxy.py: 7.70e6 grid-points/s at 360x180 on the 2-vCPU
-host (best of 5, 2026-08-19). vs_baseline is therefore "one TPU chip vs one CPU host
-on identical physics", not a published-number comparison.
+benchmarks/cpu_reference_proxy.py: 5.38e6 grid-points/s at the SAME 1440x680 grid on
+the 2-vCPU host (best of 3, 2026-08-19). vs_baseline is therefore "one TPU chip vs
+one CPU host on the identical workload", not a published-number comparison.
 
 Timing protocol: steady-state steps only (construction excluded — the remote TPU
 tunnel stalls intermittently; see .claude/skills/verify/SKILL.md), with warmup, over
@@ -25,10 +25,11 @@ import json
 import sys
 import time
 
-# Measured CPU-host throughput of the identical workload (see module docstring);
-# re-measure with `python benchmarks/cpu_reference_proxy.py`. Best of 5 runs on the
-# throttled 2-vCPU host (5.2-7.7e6 spread; the best run is the honest capability).
-MEASURED_CPU_HOST_POINTS_PER_S = 7.70e6
+# Measured CPU-host throughput of the IDENTICAL 1440x680 workload (see module
+# docstring); re-measure with `python benchmarks/cpu_reference_proxy.py`. Best of 3
+# full-size runs on the 2-vCPU host (the 360x180 size measures ~1.4x faster per
+# point — partly cache-resident — and would flatter the ratio).
+MEASURED_CPU_HOST_POINTS_PER_S = 5.38e6
 
 
 def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):

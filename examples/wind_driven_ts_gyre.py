@@ -38,8 +38,8 @@ def build(nx=180, ny=80, nz=6, dtype=None, substeps=20,
     if dtype is None:
         dtype = jnp.float32
 
-    # stretched layers: surface-first thickness ~ depth * (geometric-ish taper)
-    frac = np.array([0.03, 0.06, 0.11, 0.18, 0.26, 0.36][:nz], np.float64)
+    # stretched layers: geometric taper (each layer ~1.7x the one above), any nz
+    frac = 1.7 ** np.arange(nz, dtype=np.float64)
     frac = frac / frac.sum()
     z_faces = -depth + depth * np.concatenate([[0.0], np.cumsum(frac[::-1])])
     grid = osg.TripolarGrid.make(

@@ -475,11 +475,13 @@ def vorticity(model: HydrostaticModel, u, v):
 
 class ForcingFields(NamedTuple):
     """Halo-filled prognostics handed to user forcing functions (Oceananigans's
-    ``field_dependencies``): relaxation/sponge terms read these."""
+    ``field_dependencies``): relaxation/sponge terms read these. ``b`` is the
+    prognostic buoyancy in the layered tracer_b mode (None elsewhere)."""
 
     u: Any
     v: Any
     c: Any
+    b: Any = None
 
 
 def tendencies(model: HydrostaticModel, u, v, c, t=0.0):

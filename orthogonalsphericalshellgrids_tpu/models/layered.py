@@ -210,7 +210,8 @@ def make_layered_model(
     elif isinstance(buoyancy, str) and buoyancy not in ("none",):
         raise ValueError(f"unknown buoyancy mode {buoyancy!r}")
     else:
-        mode = "tracer_b" if buoyancy is True else "none"
+        # any truthy non-string (True, np.True_, 1) selects the prognostic tracer
+        mode = "tracer_b" if bool(buoyancy) and not isinstance(buoyancy, str) else "none"
     forcing = dict(forcing or {})
     valid_targets = {"u", "v", *tracers} | ({"b"} if mode == "tracer_b" else set())
     unknown = set(forcing) - valid_targets
@@ -586,7 +587,7 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
 
         nz = model.nz
         z3 = jnp.asarray(model.zc, model.dtype).reshape(-1, 1, 1)
-        fields = ForcingFields(u=u, v=v, c=c)
+        fields = ForcingFields(u=u, v=v, c=c, b=b if model.has_b else None)
         for name, fn in model.forcing:
             if name == "u":
                 Gu = Gu + fn(g.lam_fc, g.phi_fc, z3, t, fields) * model.mask_u3

@@ -27,7 +27,12 @@ def save_checkpoint(path: str, state: State) -> None:
     """Write the state pytree. Directory path -> orbax; ``.npz`` path -> npz."""
     if path.endswith(".npz"):
         leaves, _ = _leaves(state)
-        np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+        # atomic: a crash mid-write (OOM/preemption — the very case pickup resume
+        # exists for) must not leave a truncated newest-looking checkpoint behind
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+        os.replace(tmp, path)
         return
     import orbax.checkpoint as ocp
 

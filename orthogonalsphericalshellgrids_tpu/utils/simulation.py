@@ -58,6 +58,11 @@ class TimeInterval:
             return True
         return False
 
+    def align(self, t: float) -> None:
+        """Re-anchor to the current model time (a resumed run must not fire an
+        immediate off-schedule event just because ``_next`` started at 0)."""
+        self._next = (t // self.interval + 1) * self.interval if t > 0 else 0.0
+
 
 @dataclasses.dataclass
 class TimeStepWizard:
@@ -138,8 +143,10 @@ class Checkpointer:
         import re
 
         best, best_it = None, -1
-        for p in glob.glob(f"{prefix}_iteration*"):
-            m = re.search(r"_iteration(\d+)", p)
+        # escape glob metacharacters in the prefix; anchor the iteration number to
+        # the END of the name so "_iteration<N>" elsewhere in the path is ignored
+        for p in glob.glob(glob.escape(prefix) + "_iteration*"):
+            m = re.search(r"_iteration(\d+)(?:\.npz)?$", p)
             if m and int(m.group(1)) > best_it:
                 best, best_it = p, int(m.group(1))
         return best
@@ -209,6 +216,12 @@ class Simulation:
                     raise ValueError("pickup=True needs an attached Checkpointer "
                                      "with at least one written checkpoint")
             self.state = load_checkpoint(path, self.state)
+            # re-anchor time-based schedules to the restored time so resumed runs
+            # produce the same event sequence as uninterrupted ones
+            for schedule, _ in self.callbacks:
+                align = getattr(schedule, "align", None)
+                if callable(align):
+                    align(self.time)
         self.wall_start = time.time()
         it = self.iteration
         t = self.time

@@ -342,3 +342,35 @@ def test_forcing_sharded_matches_serial():
         np.testing.assert_array_equal(
             np.asarray(g.interior(getattr(got, name))),
             np.asarray(g.interior(getattr(ss, name))), err_msg=name)
+
+
+def test_buoyancy_forcing_field_dependence():
+    """Forcing on target "b" reads the prognostic buoyancy through fields.b
+    (relaxation toward a profile must damp the anomaly)."""
+    tau = 1800.0
+    prof = lambda z: 1e-4 * (z + DEPTH) / DEPTH
+
+    model = make_layered_model(
+        make_grid(3), free_surface=SplitExplicitFreeSurface(substeps=6),
+        bottom_height=bottom, buoyancy=True,
+        forcing={"b": lambda lam, phi, z, t, f: -(f.b - prof(z)) / tau})
+    state = layered_initial_state(model, b=lambda l, p, z: prof(z) + 1e-5)
+    s = jax.jit(layered_multi_step, static_argnums=(3,))(model, state, 60.0, 5)
+    zc = np.asarray(model.zc)
+    g = model.grid
+    I3 = (slice(None),) + g.interior2d
+    wet = np.asarray(model.mask_c3)[I3] > 0  # interior wet cells (halos are stale)
+    anom = (np.asarray(s.b) - prof(zc)[:, None, None])[I3]
+    a0 = 1e-5
+    assert 0 < np.abs(anom[wet]).max() < a0  # damped toward the profile, not past it
+
+
+def test_buoyancy_truthy_coercion():
+    """Any truthy non-string buoyancy (1, np.True_) selects the prognostic tracer —
+    a silent 'none' here would mean silently wrong physics."""
+    m = make_layered_model(make_grid(2), free_surface=SplitExplicitFreeSurface(substeps=6),
+                           bottom_height=bottom, buoyancy=np.True_)
+    assert m.buoyancy == "tracer_b"
+    m = make_layered_model(make_grid(2), free_surface=SplitExplicitFreeSurface(substeps=6),
+                           bottom_height=bottom, buoyancy=1)
+    assert m.buoyancy == "tracer_b"

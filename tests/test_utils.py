@@ -204,3 +204,45 @@ def test_checkpointer_pickup(tmp_path):
 
     with pytest.raises(ValueError, match="pickup=True"):
         Simulation(model, state, dt=30.0, stop_iteration=1).run(pickup=True)
+
+
+def test_checkpointer_latest_edge_cases(tmp_path):
+    """latest() must key on the FINAL _iteration<N> token (a directory named
+    _iteration7 must not shadow the file numbers) and must ignore glob metachars."""
+    from orthogonalsphericalshellgrids_tpu.utils.simulation import Checkpointer
+
+    d = tmp_path / "run_iteration7"
+    d.mkdir()
+    prefix = str(d / "ck")
+    for it in (2, 10):
+        open(f"{prefix}_iteration{it}.npz", "wb").write(b"x")
+    assert Checkpointer.latest(prefix).endswith("_iteration10.npz")
+
+
+def test_pickup_realigns_time_schedules(tmp_path):
+    """A resumed run must produce the same TimeInterval event times as the
+    uninterrupted run (no immediate off-schedule firing after pickup)."""
+    from orthogonalsphericalshellgrids_tpu.utils.simulation import (
+        Checkpointer, IterationInterval, Simulation, TimeInterval,
+    )
+
+    model, state = make()
+    prefix = str(tmp_path / "ck")
+
+    def run_collect(sim, pickup=None):
+        fired = []
+        sim.add_callback(lambda s: fired.append(round(s.time)), TimeInterval(300.0))
+        sim.run(pickup=pickup)
+        return fired
+
+    # straight-through: 12 steps of 60 s -> events at 300, 600, 720(=end crossing)?
+    simC = Simulation(model, state, dt=60.0, stop_iteration=12)
+    ref = run_collect(simC)
+
+    simA = Simulation(model, state, dt=60.0, stop_iteration=6)
+    simA.add_callback(Checkpointer(prefix), IterationInterval(6))
+    firedA = run_collect(simA)
+    simB = Simulation(model, state, dt=60.0, stop_iteration=12)
+    simB.add_callback(Checkpointer(prefix), IterationInterval(6))
+    firedB = run_collect(simB, pickup=True)
+    assert firedA + firedB == ref, (firedA, firedB, ref)
