@@ -166,6 +166,45 @@ def gen_oracle(nx=180, ny=90, dt=120.0, n_steps=60, every=20):
     print(f"# Oracle written: {path} ({os.path.getsize(path)/1e6:.2f} MB)")
 
 
+def gen_layered_oracle(nx=120, ny=60, nz=4, dt=120.0, n_steps=30, every=15):
+    """Frozen f64 CPU trajectory of the baroclinic-front workload (buoyancy-driven
+    layered dynamics with Coriolis + vertical mixing) — the layered analog of the
+    Bickley oracle: any change to the layered dynamics becomes a deliberate diff of
+    this artifact (tests/test_parity.py::test_layered_oracle_regression)."""
+    from functools import partial
+
+    from examples.baroclinic_front import build as build_front
+    from orthogonalsphericalshellgrids_tpu.models.layered import layered_multi_step
+
+    model, state = build_front(nx=nx, ny=ny, nz=nz, dtype=jnp.float64)
+    g = model.grid
+    fn = jax.jit(partial(layered_multi_step, n_steps=1))
+    I3 = (slice(None),) + g.interior2d
+
+    snaps = {}
+    ke = []
+
+    def snap(k, s):
+        for name in ("u", "v", "b"):
+            snaps[f"{name}.{k:03d}"] = np.asarray(getattr(s, name))[I3]
+
+    snap(0, state)
+    s = state
+    az = g.az_cc * model.baro.ib.mask_c
+    for k in range(n_steps):
+        s = fn(model, s, dt)
+        ke.append(float(jnp.sum(
+            (0.5 * jnp.sum((s.u**2 + s.v**2) * model.dz3, axis=0) * az)[g.interior2d])))
+        if (k + 1) % every == 0:
+            snap(k + 1, s)
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    path = os.path.join(DATA_DIR, f"front_oracle_{nx}x{ny}x{nz}.npz")
+    np.savez_compressed(path, meta=np.asarray([nx, ny, nz, dt, n_steps, every]),
+                        ke=np.asarray(ke), **snaps)
+    print(f"# Layered oracle written: {path} ({os.path.getsize(path)/1e6:.2f} MB)")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--skip-convergence", action="store_true")
@@ -175,3 +214,4 @@ if __name__ == "__main__":
         convergence_study()
     if not args.skip_oracle:
         gen_oracle()
+        gen_layered_oracle()

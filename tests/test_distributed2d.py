@@ -124,3 +124,56 @@ def test_2d_layered_matches_serial(nx_mesh, ny_mesh):
     ge = model.baro.grid_ext
     np.testing.assert_allclose(np.asarray(ge.interior(got.eta)),
                                np.asarray(ge.interior(ss.eta)), rtol=0, atol=1e-13)
+
+
+def test_2d_layered_multi_tracer_eos_matches_serial():
+    """2-D-sharded layered step over the (n_tracers·Nz)-plane stack with linear-EOS
+    buoyancy and user forcing must reproduce serial on every interior point."""
+    import jax.numpy as _jnp
+
+    from orthogonalsphericalshellgrids_tpu.models import (
+        layered_initial_state, layered_step, make_layered_model,
+    )
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute_layered2d, gather_layered_state2d, sharded_layered_step_fn2d,
+    )
+
+    grid = osg.TripolarGrid.make((48, 32, 3), dtype=jnp.float64,
+                                 z=[-1000.0, -600.0, -250.0, 0.0],
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, -1000.0)
+
+    model = make_layered_model(
+        grid, free_surface=SplitExplicitFreeSurface(substeps=6),
+        bottom_height=bottom, tracers=("T", "S"), buoyancy="linear_eos",
+        forcing={"T": lambda lam, phi, z, t, f: -(f.c[:3] - 10.0) / 7200.0})
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        c={"T": lambda lam, phi, z: 10.0 + 5e-3 * z + np.sin(np.deg2rad(lam)),
+           "S": lambda lam, phi, z: 35.0 + 0.1 * np.cos(np.deg2rad(phi) * 2)})
+
+    mesh = make_mesh2d(2, 4)
+    dist_model, dist_state = distribute_layered2d(model, state, mesh)
+    fn = sharded_layered_step_fn2d(mesh, dist_model, model.grid.Nx)
+
+    ss, ds = state, dist_state
+    sj = jax.jit(layered_step)
+    for _ in range(3):
+        ss = sj(model, ss, 60.0)
+        ds = fn(ds, 60.0)
+
+    got = gather_layered_state2d(ds, model, mesh)
+    g = model.grid
+    I3 = (slice(None),) + g.interior2d
+    for name in ("u", "v", "c"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)[I3]), np.asarray(getattr(ss, name)[I3]),
+            rtol=0, atol=1e-13, err_msg=name)

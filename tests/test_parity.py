@@ -200,3 +200,37 @@ def test_convergence():
     order = np.log2(errs[0] / errs[1])
     assert errs[1] < errs[0], errs
     assert order > 1.5, (errs, order)
+
+
+def test_layered_oracle_regression():
+    """Re-run the first 15 steps of the committed layered (baroclinic-front)
+    trajectory and assert prognostics + KE curve match the artifact (f64, CPU) —
+    the layered analog of test_oracle_regression."""
+    from functools import partial
+
+    from examples.baroclinic_front import build as build_front
+    from orthogonalsphericalshellgrids_tpu.models.layered import layered_multi_step
+
+    path = os.path.join(DATA, "front_oracle_120x60x4.npz")
+    with np.load(path) as data:
+        nx, ny, nz, dt, n_steps, every = data["meta"]
+        u15, v15, b15 = data["u.015"], data["v.015"], data["b.015"]
+        ke_ref = data["ke"][:15]
+
+    model, state = build_front(nx=int(nx), ny=int(ny), nz=int(nz), dtype=jnp.float64)
+    g = model.grid
+    az = g.az_cc * model.baro.ib.mask_c
+    fn = jax.jit(partial(layered_multi_step, n_steps=1))
+
+    s = state
+    ke = []
+    for _ in range(15):
+        s = fn(model, s, float(dt))
+        ke.append(float(jnp.sum(
+            (0.5 * jnp.sum((s.u**2 + s.v**2) * model.dz3, axis=0) * az)[g.interior2d])))
+
+    I3 = (slice(None),) + g.interior2d
+    np.testing.assert_allclose(np.asarray(s.u)[I3], u15, rtol=1e-9, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s.v)[I3], v15, rtol=1e-9, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s.b)[I3], b15, rtol=1e-9, atol=1e-14)
+    np.testing.assert_allclose(ke, ke_ref, rtol=1e-10)
