@@ -23,7 +23,8 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["OutputWriter", "ShardedOutputWriter", "FieldTimeSeries"]
+__all__ = ["OutputWriter", "ShardedOutputWriter", "NetCDFWriter", "FieldTimeSeries",
+           "read_netcdf_series"]
 
 
 def _append_snapshot(filename: str, k: int, t: float, arrs: dict, compression) -> None:
@@ -203,6 +204,90 @@ class ShardedOutputWriter:
 
     def close(self) -> None:  # symmetric with OutputWriter for Simulation draining
         pass
+
+
+class NetCDFWriter:
+    """NetCDF output (the ecosystem's ``NetCDFOutputWriter`` analog; the reference's
+    examples use JLD2, SURVEY.md O11, but NetCDF is the interchange format ocean
+    users expect). Writes NetCDF3-classic/64-bit-offset via ``scipy.io.netcdf_file``
+    (no extra dependencies): one UNLIMITED ``time`` dimension, one record variable
+    per output, plus ``lam_cc``/``phi_cc`` coordinate variables for base-interior
+    2-D fields. Attach to a Simulation with a schedule, like OutputWriter."""
+
+    def __init__(self, filename: str, outputs: dict[str, Callable],
+                 with_halos: bool = False):
+        self.filename = filename
+        self.outputs = outputs
+        self.with_halos = with_halos
+        self._nc = None
+        self._k = 0
+
+    def _crop(self, sim, arr):
+        g = sim.model.grid
+        if not self.with_halos and arr.shape[-2:] == g.shape2d:
+            return arr[..., g.interior2d[0], g.interior2d[1]]
+        ge = sim.model.grid_ext
+        if not self.with_halos and arr.shape[-2:] == ge.shape2d:
+            return arr[..., ge.interior2d[0], ge.interior2d[1]]
+        return arr
+
+    def _create(self, sim, arrs) -> None:
+        from scipy.io import netcdf_file
+
+        nc = netcdf_file(self.filename, "w", version=2)  # 64-bit offset
+        nc.createDimension("time", None)
+        tv = nc.createVariable("time", "d", ("time",))
+        tv.units = b"seconds"
+
+        def dim_for(hint, n):
+            name = f"{hint}{n}"
+            if name not in nc.dimensions:
+                nc.createDimension(name, n)
+            return name
+
+        coords_dims = None
+        g = sim.model.grid
+        for name, a in arrs.items():
+            hints = ["z", "y", "x"][-a.ndim:]
+            dims = tuple(dim_for(h, s) for h, s in zip(hints, a.shape))
+            nc.createVariable(name, "f" if a.dtype == np.float32 else "d",
+                              ("time",) + dims)
+            if a.shape[-2:] == (g.Ny, g.Nx):
+                coords_dims = dims[-2:]
+        if coords_dims is not None:
+            lam = np.asarray(g.lam_cc, np.float64)[g.interior2d]
+            phi = np.asarray(g.phi_cc, np.float64)[g.interior2d]
+            for cname, cval in (("lam_cc", lam), ("phi_cc", phi)):
+                cv = nc.createVariable(cname, "d", coords_dims)
+                cv.units = b"degrees"
+                cv[:] = cval
+        self._nc = nc
+
+    def __call__(self, sim) -> None:
+        arrs = {name: self._crop(sim, np.asarray(fn(sim)))
+                for name, fn in self.outputs.items()}
+        if self._nc is None:
+            self._create(sim, arrs)
+        nc = self._nc
+        nc.variables["time"][self._k] = float(sim.time)
+        for name, a in arrs.items():
+            nc.variables[name][self._k] = a
+        self._k += 1
+        nc.sync()
+
+    def close(self) -> None:
+        if self._nc is not None:
+            self._nc.close()
+            self._nc = None
+
+
+def read_netcdf_series(filename: str, name: str):
+    """(times, values) from a NetCDFWriter file — values shaped (time, ...)."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(filename, "r", mmap=False) as nc:
+        return (np.array(nc.variables["time"][:]),
+                np.array(nc.variables[name][:]))
 
 
 class FieldTimeSeries:

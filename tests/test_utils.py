@@ -246,3 +246,37 @@ def test_pickup_realigns_time_schedules(tmp_path):
     simB.add_callback(Checkpointer(prefix), IterationInterval(6))
     firedB = run_collect(simB, pickup=True)
     assert firedA + firedB == ref, (firedA, firedB, ref)
+
+
+def test_netcdf_writer_round_trip(tmp_path):
+    """NetCDFWriter produces a valid NetCDF3 file: times, per-snapshot fields, and
+    cell-center coordinate variables all read back correctly."""
+    from orthogonalsphericalshellgrids_tpu.utils.output import (
+        NetCDFWriter, read_netcdf_series,
+    )
+    from orthogonalsphericalshellgrids_tpu.utils.simulation import (
+        IterationInterval, Simulation,
+    )
+
+    model, state = make()
+    path = str(tmp_path / "out.nc")
+    w = NetCDFWriter(path, {
+        "c": lambda s: s.state.c,
+        "eta": lambda s: s.state.eta,   # extended-grid shape -> different dims
+    })
+    sim = Simulation(model, state, dt=30.0, stop_iteration=4)
+    sim.add_callback(w, IterationInterval(2))
+    sim.run()
+
+    times, c = read_netcdf_series(path, "c")
+    assert len(times) == 2 and np.all(np.diff(times) > 0)
+    g = model.grid
+    assert c.shape == (2, g.Ny, g.Nx)
+    np.testing.assert_allclose(c[-1], np.asarray(g.interior(sim.state.c)))
+    _, eta = read_netcdf_series(path, "eta")
+    assert eta.shape[1:] == (g.Ny, g.Nx) or eta.shape[1:] == (model.grid_ext.Ny,
+                                                              model.grid_ext.Nx)
+    _, lam = read_netcdf_series(path, "lam_cc")
+    # scalar-less coordinate variable: not time-dependent, full interior
+    assert np.asarray(lam).shape[-2:] == (g.Ny, g.Nx)
+    assert np.isfinite(c).all()
