@@ -107,8 +107,9 @@ class LayeredModel:
     zc: tuple        # layer-center depths [m], surface-first
     forcing: tuple   # ((target, fn), ...): fn(λ°, φ°, z, t, fields) -> tendency term
     buoyancy: str    # "none" | "tracer_b" (prognostic b) | "linear_eos" (b from T/S)
-    kappa_v: float   # explicit vertical tracer diffusivity (m^2/s; 0 disables)
-    nu_v: float      # explicit vertical viscosity (m^2/s; 0 disables)
+    kappa_v: float   # vertical tracer diffusivity (m^2/s; 0 disables)
+    nu_v: float      # vertical viscosity (m^2/s; 0 disables)
+    vert_impl: bool  # True: backward-Euler tridiagonal solve instead of explicit term
     tracer_names: tuple  # ("c",) -> State.c is (Nz, Yb, Xb); else (n*Nz, ...) stacked
     # linear seawater EOS: b = g_b (α (T - T0) - β (S - S0)); β term only if "S" present
     g_b: float
@@ -150,7 +151,7 @@ for _cls, _data, _meta in [
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
       "bot_u", "bot_v"],
-     ["nz", "dz", "dzc", "zc", "forcing", "buoyancy", "kappa_v", "nu_v",
+     ["nz", "dz", "dzc", "zc", "forcing", "buoyancy", "kappa_v", "nu_v", "vert_impl",
       "tracer_names", "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
     jax.tree_util.register_dataclass(_cls, data_fields=_data, meta_fields=_meta)
@@ -170,6 +171,7 @@ def make_layered_model(
     rotation_rate: float = 7.292115e-5,
     kappa_v: float = 0.0,
     nu_v: float = 0.0,
+    vertical_time_discretization: str = "explicit",  # "explicit" | "implicit"
     gravitational_acceleration: float = 9.80665,  # for the linear EOS buoyancy
     thermal_expansion: float = 1.67e-4,           # α [1/K] (Oceananigans default)
     haline_contraction: float = 7.80e-4,          # β [1/psu] (Oceananigans default)
@@ -179,6 +181,8 @@ def make_layered_model(
     bottom_drag=None,       # ("linear", r) or ("quadratic", Cd); acts on the deepest wet layer
     nu_h: float = 0.0,
     kappa_h: float = 0.0,
+    nu4_h: float = 0.0,
+    kappa4_h: float = 0.0,
     use_pallas: bool | None = None,
     tracer_advection: str = "weno5",
     momentum_advection: str = "weno_vector_invariant",
@@ -203,6 +207,10 @@ def make_layered_model(
     tracers = tuple(str(t) for t in tracers)
     if len(tracers) == 0 or len(set(tracers)) != len(tracers):
         raise ValueError(f"tracers must be a non-empty tuple of unique names, got {tracers!r}")
+    if vertical_time_discretization not in ("explicit", "implicit"):
+        raise ValueError(
+            f"vertical_time_discretization must be 'explicit' or 'implicit', "
+            f"got {vertical_time_discretization!r}")
     if buoyancy == "linear_eos":
         mode = "linear_eos"
         if "T" not in tracers and "S" not in tracers:
@@ -223,7 +231,7 @@ def make_layered_model(
                       use_pallas=use_pallas, tracer_advection=tracer_advection,
                       momentum_advection=momentum_advection,
                       wind_stress=wind_stress, bottom_drag=bottom_drag,
-                      nu_h=nu_h, kappa_h=kappa_h)
+                      nu_h=nu_h, kappa_h=kappa_h, nu4_h=nu4_h, kappa4_h=kappa4_h)
     nz = grid.Nz
     # Layer-center depths / thicknesses, k = 0 at the surface (stretched-aware).
     zc, dz_layers, dzc_layers = _layer_geometry(grid)
@@ -276,6 +284,7 @@ def make_layered_model(
         buoyancy=mode,
         kappa_v=float(kappa_v),
         nu_v=float(nu_v),
+        vert_impl=(vertical_time_discretization == "implicit"),
         tracer_names=tracers,
         g_b=float(gravitational_acceleration),
         alpha_T=float(thermal_expansion),
@@ -458,6 +467,56 @@ def _vertical_laplacian(q, dz, dzc, mask):
     return (_zs(Ffull, 0, -1) - _zs(Ffull, 1, None)) / dz
 
 
+def _implicit_vertical_solve(q, r, dz, dzc, mask):
+    """Backward-Euler vertical diffusion: x with ``(I - r·Lz) x = q`` along axis -3,
+    where ``Lz`` is exactly the flux-form operator of ``_vertical_laplacian`` (zero
+    flux through surface/floor and across solid interfaces) and ``r = dt·κ`` [m²].
+
+    This is the layered model's ``VerticallyImplicitTimeDiscretization`` (the
+    ecosystem's standard vertical-mixing treatment — the reference workloads are all
+    single-layer, SURVEY.md O5 note): unconditionally stable for any κ·dt/dz², so
+    strong convective-adjustment-scale mixing doesn't constrain Δt. Solved by a
+    vectorized Thomas algorithm unrolled over the (static, small) layer count — each
+    sweep step is one fused VPU pass over the (Y, X) planes, so the whole solve is
+    2·Nz elementwise plane ops with no gathers or transposes.
+
+    Because Lz telescopes, ``Σ dz·x = Σ dz·q`` per column (content is conserved
+    exactly) and land cells (mask 0 above and below) reduce to the identity.
+
+    ``dz``/``dzc`` are the static per-layer tuples; ``mask`` is (Nz, Y, X) and
+    broadcasts against an optional leading tracer axis of ``q``; ``r`` may be a
+    traced scalar (dt is traced inside jit)."""
+    nz = q.shape[-3]
+    if nz == 1:
+        return q
+
+    def pl(A, k):
+        return A[..., k, :, :]
+
+    # interface openness M_k (between layers k-1 and k), k = 1..Nz-1
+    M = [pl(mask, k - 1) * pl(mask, k) for k in range(1, nz)]
+    # sub/super-diagonals (<= 0) and diagonal (>= 1); a[0] = c[Nz-1] = 0
+    a = [None] + [-(r / (dz[k] * dzc[k - 1])) * M[k - 1] for k in range(1, nz)]
+    c = [-(r / (dz[k] * dzc[k])) * M[k] for k in range(nz - 1)] + [None]
+    # Thomas forward sweep: denom >= 1 always (diagonally dominant by construction)
+    cp = [None] * nz
+    dp = [None] * nz
+    b0 = 1.0 - c[0]
+    cp[0] = c[0] / b0
+    dp[0] = pl(q, 0) / b0
+    for k in range(1, nz):
+        bk = 1.0 - (a[k] if a[k] is not None else 0.0) - (c[k] if c[k] is not None else 0.0)
+        denom = bk - a[k] * cp[k - 1]
+        cp[k] = (c[k] / denom) if c[k] is not None else None
+        dp[k] = (pl(q, k) - a[k] * dp[k - 1]) / denom
+    # back substitution
+    x = [None] * nz
+    x[nz - 1] = dp[nz - 1]
+    for k in range(nz - 2, -1, -1):
+        x[k] = dp[k] - cp[k] * x[k + 1]
+    return jnp.stack(x, axis=-3)
+
+
 def _hydrostatic_pressure(b, dz):
     """Kinematic pressure p_k = -∫_{z_k}^0 b dz' at layer centers (k = 0 surface):
     p_0 = -b_0 dz_0/2, p_k = p_{k-1} - (b_{k-1} dz_{k-1} + b_k dz_k)/2 — via one
@@ -525,7 +584,7 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
         Gu = Gu - dxf(p) * m.inv_dx_fc
         Gv = Gv - dyf(p) * m.inv_dy_cf
 
-    if model.nu_v > 0.0:
+    if model.nu_v > 0.0 and not model.vert_impl:
         Gu = Gu + model.nu_v * _vertical_laplacian(u, model.dz3, model.dzc3, model.mask_u3)
         Gv = Gv + model.nu_v * _vertical_laplacian(v, model.dz3, model.dzc3, model.mask_v3)
 
@@ -547,6 +606,11 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
 
         Gu = Gu + m.nu_h * laplacian_u(g, u, model.mask_u3, model.mask_c3)
         Gv = Gv + m.nu_h * laplacian_v(g, v, model.mask_v3, model.mask_c3)
+    if m.nu4_h > 0.0:
+        from ..ops.closures import biharmonic_u, biharmonic_v
+
+        Gu = Gu - m.nu4_h * biharmonic_u(g, u, model.mask_u3, model.mask_c3)
+        Gv = Gv - m.nu4_h * biharmonic_v(g, v, model.mask_v3, model.mask_c3)
 
     Gu = Gu * model.mask_u3
     Gv = Gv * model.mask_v3
@@ -565,7 +629,7 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
         fy = v * model.dzv * g.dx_cf * cy
         G = -(dxc(fx) + dyc(fy)) * inv_vol
         G = G + _vertical_tracer_div(w, cq, model.dz3) * model.mask_c3
-        if model.kappa_v > 0.0:
+        if model.kappa_v > 0.0 and not model.vert_impl:
             G = G + model.kappa_v * _vertical_laplacian(cq, model.dz3, model.dzc3, model.mask_c3) \
                 * model.mask_c3
         if m.kappa_h > 0.0:
@@ -573,6 +637,11 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
 
             G = G + m.kappa_h * laplacian_c(g, cq, model.mask_c3, model.mask_u3,
                                             model.mask_v3)
+        if m.kappa4_h > 0.0:
+            from ..ops.closures import biharmonic_c
+
+            G = G - m.kappa4_h * biharmonic_c(g, cq, model.mask_c3, model.mask_u3,
+                                              model.mask_v3)
         return G
 
     # multi-tracer: one broadcast pass over the (n, Nz, Yb, Xb) view — every
@@ -668,6 +737,12 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
     # split-explicit corrector: predictor layers, then replace the depth mean
     u_star = (state.u + dt * Gu_s) * model.mask_u3
     v_star = (state.v + dt * Gv_s) * model.mask_v3
+    if model.vert_impl and model.nu_v > 0.0:
+        # backward-Euler vertical viscosity on the predictor; Σ dz·u is conserved by
+        # the solve, so the depth-mean replacement below is unaffected
+        r = dt * model.nu_v
+        u_star = _implicit_vertical_solve(u_star, r, model.dz, model.dzc, model.mask_u3)
+        v_star = _implicit_vertical_solve(v_star, r, model.dz, model.dzc, model.mask_v3)
     ubar = jnp.sum(u_star * model.dzu, axis=0) * model.inv_h_u
     vbar = jnp.sum(v_star * model.dzv, axis=0) * model.inv_h_v
     Ubar = crop_ext(g, ge, U_a) * model.inv_h_u
@@ -677,6 +752,13 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
 
     c_new = _mask_tracers(model, state.c + dt * Gc_s)
     b_new = (state.b + dt * Gb_s) * model.mask_c3 if model.has_b else state.b
+    if model.vert_impl and model.kappa_v > 0.0:
+        r = dt * model.kappa_v
+        c_new = _as_tracer_stack(model, _implicit_vertical_solve(
+            _as_tracer4(model, c_new), r, model.dz, model.dzc, model.mask_c3))
+        if model.has_b:
+            b_new = _implicit_vertical_solve(b_new, r, model.dz, model.dzc,
+                                             model.mask_c3)
 
     return LayeredState(
         u=u_new, v=v_new, eta=eta_a, U=U_a, V=V_a, c=c_new, b=b_new,

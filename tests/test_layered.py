@@ -443,3 +443,113 @@ def test_stretched_rest_state_and_conservation():
     q1 = float(layered_tracer_content(model, s))
     assert abs(q1 - q0) <= 1e-12 * abs(q0), (q0, q1)
     assert float(jnp.max(jnp.abs(s.u))) < 5.0
+
+
+# --------------------------------------------------------------------------------------
+# Implicit vertical mixing (VerticallyImplicitTimeDiscretization analog)
+# --------------------------------------------------------------------------------------
+
+def test_implicit_vertical_solve_unit():
+    """Direct solver pins: (I - r·Lz)·solve(q) == q with the SAME flux-form Lz the
+    explicit path uses; column content Σ dz·x conserved exactly; land columns are
+    identities."""
+    from orthogonalsphericalshellgrids_tpu.models.layered import (
+        _implicit_vertical_solve, _vertical_laplacian)
+
+    rng = np.random.default_rng(7)
+    nz, ny, nx = 5, 6, 8
+    dz = (100.0, 150.0, 200.0, 250.0, 300.0)
+    dzc = tuple(0.5 * (dz[k] + dz[k + 1]) for k in range(nz - 1))
+    # wet from the surface down to a random depth; some fully-dry land columns
+    kbot = rng.integers(0, nz + 1, size=(ny, nx))
+    mask = (np.arange(nz)[:, None, None] < kbot[None]).astype(np.float64)
+    q = rng.normal(size=(nz, ny, nx)) * mask
+    r = 1e4 * 3600.0  # strongly implicit: r/dz² ~ 360
+
+    qj = jnp.asarray(q)
+    mj = jnp.asarray(mask)
+    x = _implicit_vertical_solve(qj, r, dz, dzc, mj)
+
+    # residual of the linear system, using the explicit operator as the oracle
+    dz3 = jnp.asarray(dz).reshape(-1, 1, 1)
+    dzc3 = jnp.asarray(dzc).reshape(-1, 1, 1)
+    resid = x - r * _vertical_laplacian(x, dz3, dzc3, mj) - qj
+    np.testing.assert_allclose(np.asarray(resid), 0.0, atol=1e-10)
+
+    # exact column-content conservation
+    np.testing.assert_allclose(np.asarray(jnp.sum(x * dz3, axis=0)),
+                               np.sum(q * np.asarray(dz3), axis=0), rtol=1e-12)
+
+    # land cells untouched (identity rows)
+    np.testing.assert_array_equal(np.asarray(x) * (1 - mask), 0.0)
+
+    # leading tracer axis broadcasts identically
+    q4 = jnp.stack([qj, 2.0 * qj])
+    x4 = _implicit_vertical_solve(q4, r, dz, dzc, mj)
+    np.testing.assert_allclose(np.asarray(x4[0]), np.asarray(x), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(x4[1]), 2.0 * np.asarray(x), rtol=1e-12)
+
+
+def test_implicit_matches_explicit_small_r():
+    """For κ·dt/dz² << 1 the backward-Euler and AB2-explicit treatments integrate the
+    same diffusion operator, so their trajectory difference (a) is small and (b)
+    scales LINEARLY with κ (it is the first-order time-discretization difference of
+    the diffusion term itself). With κ = ν = 0 the two modes must be bitwise equal."""
+
+    def pair(kappa, nu):
+        kw = dict(kappa_v=kappa, nu_v=nu, buoyancy=True)
+        out = []
+        for disc in ("explicit", "implicit"):
+            m, _ = layered_bickley(nz=4, vertical_time_discretization=disc, **kw)
+            s = layered_initial_state(
+                m, u=lambda l, p, z: ui(l, p) * (1 + z / 2000.0),
+                b=lambda l, p, z: 1e-5 * z)
+            out.append(run_layered(m, s, 10))
+        return out
+
+    oe, oi = pair(0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(oe.u), np.asarray(oi.u))
+    np.testing.assert_array_equal(np.asarray(oe.b), np.asarray(oi.b))
+
+    oe, oi = pair(0.05, 0.05)
+    d1 = float(jnp.max(jnp.abs(oi.u - oe.u)))
+    scale = float(jnp.max(jnp.abs(oe.u)))
+    assert d1 < 2e-4 * scale, (d1, scale)
+    np.testing.assert_allclose(np.asarray(oi.b), np.asarray(oe.b), atol=5e-6, rtol=0)
+
+    oe2, oi2 = pair(0.005, 0.005)
+    d2 = float(jnp.max(jnp.abs(oi2.u - oe2.u)))
+    assert d2 < 0.2 * d1, (d1, d2)  # ~10x smaller at 10x smaller κ
+
+
+def test_implicit_stable_and_homogenizing_at_huge_kappa():
+    """κ·dt/dz² ≈ 58 — far past the explicit stability limit (1/2): the implicit run
+    must stay finite, conserve tracer content exactly, and drive each wet column
+    toward its thickness-weighted mean (vertical homogenization)."""
+    from orthogonalsphericalshellgrids_tpu.models.diagnostics import layered_tracer_content
+
+    kappa = 6.0e4  # m²/s; dz = 250 m, dt = 60 s -> κ·dt/dz² ≈ 57.6
+    model, state = layered_bickley(
+        nz=4, kappa_v=kappa, vertical_time_discretization="implicit")
+    state = layered_initial_state(model, c=lambda l, p, z: 1.0 + z / 1000.0)
+
+    q0 = float(layered_tracer_content(model, state))
+    out = run_layered(model, state, 10)
+    assert np.isfinite(np.asarray(out.c)).all()
+    q1 = float(layered_tracer_content(model, out))
+    assert abs(q1 - q0) <= 1e-12 * abs(q0)
+
+    # interior wet columns (uniform depth -> all 4 layers wet): c -> column mean 0.5
+    c = np.asarray(out.c)
+    mask = np.asarray(model.mask_c3)
+    g = model.grid
+    full = mask.sum(0)[g.interior2d] == 4
+    spread = (c.max(0) - c.min(0))[g.interior2d][full]
+    assert float(spread.max()) < 0.02, float(spread.max())  # from initial spread 0.75
+
+    # the same configuration run EXPLICITLY must blow up — the unstable mode grows
+    # ~|1 - 4κΔt/dz²| ≈ 230x per step (documents why the implicit solver exists)
+    me, se = layered_bickley(nz=4, kappa_v=kappa)
+    se = layered_initial_state(me, c=lambda l, p, z: 1.0 + z / 1000.0)
+    oe = run_layered(me, se, 10)
+    assert float(jnp.max(jnp.abs(oe.c))) > 1e6
