@@ -121,6 +121,8 @@ class HydrostaticModel:
     drag_coeff: float
     nu_h: float         # horizontal viscosity (m^2/s; 0 disables)
     kappa_h: float      # horizontal tracer diffusivity (m^2/s; 0 disables)
+    nu4_h: float        # horizontal biharmonic viscosity (m^4/s; 0 disables)
+    kappa4_h: float     # horizontal biharmonic tracer diffusivity (m^4/s; 0 disables)
 
     # convenience
     @property
@@ -137,7 +139,8 @@ _MODEL_ARRAYS = [
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
                "tracer_advection", "momentum_advection", "tracer_names", "forcing",
-               "wind", "drag_type", "drag_coeff", "nu_h", "kappa_h"]
+               "wind", "drag_type", "drag_coeff", "nu_h", "kappa_h", "nu4_h",
+               "kappa4_h"]
 
 for _cls, _data, _meta in [
     (State, [f.name for f in dataclasses.fields(State)], []),
@@ -230,6 +233,8 @@ def make_model(
     bottom_drag=None,       # ("linear", r [m/s]) or ("quadratic", Cd [-])
     nu_h: float = 0.0,      # horizontal viscosity [m²/s]
     kappa_h: float = 0.0,   # horizontal tracer diffusivity [m²/s]
+    nu4_h: float = 0.0,     # horizontal biharmonic viscosity [m⁴/s]
+    kappa4_h: float = 0.0,  # horizontal biharmonic tracer diffusivity [m⁴/s]
     decomposition: str = "1d",  # accepted for API clarity; both layouts now share the
                                 # widened-x ext grid, so it no longer changes the model
 ) -> HydrostaticModel:
@@ -392,6 +397,8 @@ def make_model(
         drag_coeff=float(drag_coeff),
         nu_h=float(nu_h),
         kappa_h=float(kappa_h),
+        nu4_h=float(nu4_h),
+        kappa4_h=float(kappa4_h),
     )
 
 
@@ -556,6 +563,15 @@ def tendencies(model: HydrostaticModel, u, v, c, t=0.0):
         from ..ops.closures import laplacian_c
 
         Gc = Gc + model.kappa_h * laplacian_c(g, c, ib.mask_c, ib.mask_u, ib.mask_v)
+    if model.nu4_h > 0.0:
+        from ..ops.closures import biharmonic_u, biharmonic_v
+
+        Gu = Gu - model.nu4_h * biharmonic_u(g, u, ib.mask_u, ib.mask_c)
+        Gv = Gv - model.nu4_h * biharmonic_v(g, v, ib.mask_v, ib.mask_c)
+    if model.kappa4_h > 0.0:
+        from ..ops.closures import biharmonic_c
+
+        Gc = Gc - model.kappa4_h * biharmonic_c(g, c, ib.mask_c, ib.mask_u, ib.mask_v)
 
     # --- user forcing (Oceananigans ``Forcing``): pointwise, so the interior/boundary
     # overlap split stays exact (strip passes see row-sliced λ/φ and strip fields)

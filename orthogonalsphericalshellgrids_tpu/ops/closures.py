@@ -27,7 +27,8 @@ def _ratio(num, den):
     return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
 
 
-__all__ = ["laplacian_u", "laplacian_v", "laplacian_c"]
+__all__ = ["laplacian_u", "laplacian_v", "laplacian_c",
+           "biharmonic_u", "biharmonic_v", "biharmonic_c"]
 
 
 def laplacian_u(grid, u, mask_u, mask_c):
@@ -55,3 +56,28 @@ def laplacian_c(grid, c, mask_c, mask_u, mask_v):
     gx = dxf(c) * _ratio(grid.dy_fc, grid.dx_fc) * mask_u
     gy = dyf(c) * _ratio(grid.dx_cf, grid.dy_cf) * mask_v
     return (dxc(gx) + dyc(gy)) * _ratio(1.0, grid.az_cc) * mask_c
+
+
+# Biharmonic (∇⁴ = ∇²∘∇²) hyperdissipation — the ecosystem's
+# ``HorizontalScalarBiharmonicDiffusivity``, the standard explicit closure at
+# eddy-permitting ocean resolution (scale-selective: damps 2Δx noise at rate ν₄k⁴
+# while leaving resolved scales nearly untouched). The tendency contribution is
+# NEGATIVE: G -= ν₄·∇⁴q. Each ∇² consumes one halo cell, so the composition needs
+# two — within every supported halo (WENO-5 already requires three). Because the
+# inner Laplacian is masked exactly like the outer one, the dissipated quantity's
+# masked content obeys the same flux-form conservation as the Laplacian closures.
+
+def biharmonic_u(grid, u, mask_u, mask_c):
+    """∇⁴u at FC points (∇² applied twice with identical free-slip masking)."""
+    return laplacian_u(grid, laplacian_u(grid, u, mask_u, mask_c), mask_u, mask_c)
+
+
+def biharmonic_v(grid, v, mask_v, mask_c):
+    """∇⁴v at CF points."""
+    return laplacian_v(grid, laplacian_v(grid, v, mask_v, mask_c), mask_v, mask_c)
+
+
+def biharmonic_c(grid, c, mask_c, mask_u, mask_v):
+    """∇⁴c at CC points."""
+    return laplacian_c(grid, laplacian_c(grid, c, mask_c, mask_u, mask_v),
+                       mask_c, mask_u, mask_v)
