@@ -41,7 +41,7 @@ from ..grids.tripolar import TripolarGrid, with_halo
 from ..ops import zipper
 from ..ops.spmd import Spmd, fill_halos_spmd, fill_halos_spmd_batch
 from ..ops.spmd2d import Spmd2D, fill_halos_spmd2d_batch
-from ..ops.advection import (centered_faces_from_centers,
+from ..ops.advection import (centered_faces_from_centers, tracer_faces,
                              weno5_upwind_centers_from_faces,
                              weno5_upwind_faces_from_centers)
 from ..ops.location import CC, CF, FC
@@ -253,6 +253,17 @@ def make_model(
     tracers = tuple(str(t) for t in tracers)
     if len(tracers) == 0 or len(set(tracers)) != len(tracers):
         raise ValueError(f"tracers must be a non-empty tuple of unique names, got {tracers!r}")
+    from ..ops.advection import SCHEME_RADIUS, TRACER_SCHEMES
+
+    if tracer_advection not in TRACER_SCHEMES:
+        raise ValueError(
+            f"unknown tracer_advection {tracer_advection!r}; options: {TRACER_SCHEMES}")
+    radius = SCHEME_RADIUS[tracer_advection]
+    if min(grid.Hx, grid.Hy) < radius:
+        raise ValueError(
+            f"tracer_advection={tracer_advection!r} consumes {radius} halo cells per "
+            f"side but the grid halo is ({grid.Hx}, {grid.Hy}) — rebuild the grid "
+            f"with halo >= {radius} (the reference widens halos the same way)")
     forcing = dict(forcing or {})
     valid_targets = {"u", "v", *tracers}
     unknown = set(forcing) - valid_targets
@@ -525,14 +536,8 @@ def tendencies(model: HydrostaticModel, u, v, c, t=0.0):
     # --- tracer (CC): flux-form advection (WENO-5 upwind or centered, the reference's
     # FluxFormAdvection(WENO/Centered) options); transports carry the column depth so
     # the advected content is conserved against the free-surface divergence
-    if model.tracer_advection == "weno5":
-        cx = weno5_upwind_faces_from_centers(c, u, axis=-1)
-        cy = weno5_upwind_faces_from_centers(c, v, axis=-2)
-    elif model.tracer_advection == "centered":
-        cx = centered_faces_from_centers(c, axis=-1)
-        cy = centered_faces_from_centers(c, axis=-2)
-    else:
-        raise ValueError(f"unknown tracer_advection {model.tracer_advection!r}")
+    cx = tracer_faces(c, u, axis=-1, scheme=model.tracer_advection)
+    cy = tracer_faces(c, v, axis=-2, scheme=model.tracer_advection)
     fx = u * ib.h_u * g.dy_fc * cx
     fy = v * ib.h_v * g.dx_cf * cy
     Gc = -(dxc(fx) + dyc(fy)) * model.inv_vol_c

@@ -41,7 +41,7 @@ import numpy as np
 
 from ..grids.tripolar import TripolarGrid
 from ..ops import zipper
-from ..ops.advection import (centered_faces_from_centers,
+from ..ops.advection import (centered_faces_from_centers, tracer_faces,
                              weno5_upwind_centers_from_faces,
                              weno5_upwind_faces_from_centers)
 from ..ops.location import CC, CF, FC
@@ -619,12 +619,8 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     inv_vol = model.mask_c3 * _inv(g.az_cc * model.dz3)
 
     def tracer_tendency(cq):
-        if m.tracer_advection == "weno5":
-            cx = weno5_upwind_faces_from_centers(cq, u, axis=-1)
-            cy = weno5_upwind_faces_from_centers(cq, v, axis=-2)
-        else:
-            cx = centered_faces_from_centers(cq, axis=-1)
-            cy = centered_faces_from_centers(cq, axis=-2)
+        cx = tracer_faces(cq, u, axis=-1, scheme=m.tracer_advection)
+        cy = tracer_faces(cq, v, axis=-2, scheme=m.tracer_advection)
         fx = u * model.dzu * g.dy_fc * cx
         fy = v * model.dzv * g.dx_cf * cy
         G = -(dxc(fx) + dyc(fy)) * inv_vol

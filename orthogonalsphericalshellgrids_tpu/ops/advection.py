@@ -22,9 +22,38 @@ __all__ = [
     "weno5_centers_from_faces",
     "weno5_upwind_faces_from_centers",
     "weno5_upwind_centers_from_faces",
+    "weno7_upwind_faces_from_centers",
+    "upwind3_faces_from_centers",
     "upwind_select",
     "centered_faces_from_centers",
+    "centered4_faces_from_centers",
+    "TRACER_SCHEMES",
 ]
+
+# tracer_advection= option names accepted by the models (Oceananigans analogs:
+# WENO(order=5), WENO(order=7), UpwindBiased(order=3), Centered(order=2/4))
+TRACER_SCHEMES = ("weno5", "weno7", "upwind3", "centered", "centered4")
+
+# halo cells each reconstruction consumes on each side (scheme admissibility is
+# checked against the grid halo at model build)
+SCHEME_RADIUS = {"weno5": 3, "weno7": 4, "upwind3": 2, "centered": 1, "centered4": 2}
+
+
+def tracer_faces(c, vel, axis, scheme):
+    """Face reconstruction of a center field under the named tracer-advection scheme
+    (the models' ``tracer_advection=`` dispatch). ``vel`` drives upwinding; the
+    centered schemes ignore it."""
+    if scheme == "weno5":
+        return weno5_upwind_faces_from_centers(c, vel, axis)
+    if scheme == "weno7":
+        return weno7_upwind_faces_from_centers(c, vel, axis)
+    if scheme == "upwind3":
+        return upwind3_faces_from_centers(c, vel, axis)
+    if scheme == "centered":
+        return centered_faces_from_centers(c, axis)
+    if scheme == "centered4":
+        return centered4_faces_from_centers(c, axis)
+    raise ValueError(f"unknown tracer_advection {scheme!r}; options: {TRACER_SCHEMES}")
 
 _EPS = 1e-8  # smoothness regularizer; float32-safe
 
@@ -110,6 +139,76 @@ def weno5_upwind_centers_from_faces(f, vel, axis):
     return shift_p(weno5_upwind_faces_from_centers(f, shift_m(vel, axis), axis), axis)
 
 
+def _weno7_left(m4, m3, m2, m1, p0, p1, p2):
+    """WENO-7 reconstruction at the interface from the LEFT (Balsara & Shu 2000
+    candidate polynomials and smoothness indicators; Castro–Costa–Don 2011 Z-weights
+    with τ₇ = |β₀ + 3β₁ − 3β₂ − β₃|). Data are the seven cells around the interface:
+    four upwind (m4..m1), three downwind (p0..p2) — the Oceananigans ``WENO(order=7)``
+    slot of SURVEY.md O7's scheme family."""
+    q0 = (-3.0 * m4 + 13.0 * m3 - 23.0 * m2 + 25.0 * m1) / 12.0
+    q1 = (m3 - 5.0 * m2 + 13.0 * m1 + 3.0 * p0) / 12.0
+    q2 = (-m2 + 7.0 * m1 + 7.0 * p0 - p1) / 12.0
+    q3 = (3.0 * m1 + 13.0 * p0 - 5.0 * p1 + p2) / 12.0
+
+    b0 = (m4 * (547.0 * m4 - 3882.0 * m3 + 4642.0 * m2 - 1854.0 * m1)
+          + m3 * (7043.0 * m3 - 17246.0 * m2 + 7042.0 * m1)
+          + m2 * (11003.0 * m2 - 9402.0 * m1) + 2107.0 * m1 * m1)
+    b1 = (m3 * (267.0 * m3 - 1642.0 * m2 + 1602.0 * m1 - 494.0 * p0)
+          + m2 * (2843.0 * m2 - 5966.0 * m1 + 1922.0 * p0)
+          + m1 * (3443.0 * m1 - 2522.0 * p0) + 547.0 * p0 * p0)
+    b2 = (m2 * (547.0 * m2 - 2522.0 * m1 + 1922.0 * p0 - 494.0 * p1)
+          + m1 * (3443.0 * m1 - 5966.0 * p0 + 1602.0 * p1)
+          + p0 * (2843.0 * p0 - 1642.0 * p1) + 267.0 * p1 * p1)
+    b3 = (m1 * (2107.0 * m1 - 9402.0 * p0 + 7042.0 * p1 - 1854.0 * p2)
+          + p0 * (11003.0 * p0 - 17246.0 * p1 + 4642.0 * p2)
+          + p1 * (7043.0 * p1 - 3882.0 * p2) + 547.0 * p2 * p2)
+
+    tau = jnp.abs(b0 + 3.0 * b1 - 3.0 * b2 - b3)
+    a0 = (1.0 / 35.0) * (1.0 + (tau / (b0 + _EPS)) ** 2)
+    a1 = (12.0 / 35.0) * (1.0 + (tau / (b1 + _EPS)) ** 2)
+    a2 = (18.0 / 35.0) * (1.0 + (tau / (b2 + _EPS)) ** 2)
+    a3 = (4.0 / 35.0) * (1.0 + (tau / (b3 + _EPS)) ** 2)
+    s = a0 + a1 + a2 + a3
+    return (a0 * q0 + a1 * q1 + a2 * q2 + a3 * q3) / s
+
+
+def weno7_upwind_faces_from_centers(c, vel, axis):
+    """Upwind WENO-7 face reconstruction, input-selected like the WENO-5 variant
+    (one reconstruction; the mirror stencil is fed through the same kernel for
+    negative flow). Consumes 4 halo cells each side — within the default halo of 4."""
+    cm1 = shift_m(c, axis)
+    cm2 = shift_m(cm1, axis)
+    cm3 = shift_m(cm2, axis)
+    cm4 = shift_m(cm3, axis)
+    cp1 = shift_p(c, axis)
+    cp2 = shift_p(cp1, axis)
+    cp3 = shift_p(cp2, axis)
+    pos = vel > 0.0
+
+    def sel(a, b):
+        return jnp.where(pos, a, b)
+
+    # positive flow: (c[k-4..k-1] | c[k..k+2]); negative: mirror image around the face
+    return _weno7_left(sel(cm4, cp3), sel(cm3, cp2), sel(cm2, cp1), sel(cm1, c),
+                       sel(c, cm1), sel(cp1, cm2), sel(cp2, cm3))
+
+
+def upwind3_faces_from_centers(c, vel, axis):
+    """Third-order upwind-biased face reconstruction (Oceananigans
+    ``UpwindBiased(order=3)``): the WENO-5 middle candidate stencil with fixed
+    weights — (−c[k−2] + 5c[k−1] + 2c[k])/6 for positive flow, mirror for negative.
+    Input-selected; consumes 2 halo cells each side."""
+    cm1 = shift_m(c, axis)
+    cm2 = shift_m(cm1, axis)
+    cp1 = shift_p(c, axis)
+    pos = vel > 0.0
+
+    def sel(a, b):
+        return jnp.where(pos, a, b)
+
+    return (-sel(cm2, cp1) + 5.0 * sel(cm1, c) + 2.0 * sel(c, cm1)) / 6.0
+
+
 def upwind_select(vel, left, right):
     """Upwind selection: the left-biased value where vel > 0, else right-biased.
 
@@ -121,3 +220,12 @@ def upwind_select(vel, left, right):
 def centered_faces_from_centers(c, axis):
     """Second-order centered interpolation of centers to faces (Centered())."""
     return 0.5 * (c + shift_m(c, axis))
+
+
+def centered4_faces_from_centers(c, axis):
+    """Fourth-order centered face interpolation (Oceananigans ``Centered(order=4)``):
+    (7(c[k−1] + c[k]) − (c[k−2] + c[k+1]))/12. Consumes 2 halo cells each side."""
+    cm1 = shift_m(c, axis)
+    cm2 = shift_m(cm1, axis)
+    cp1 = shift_p(c, axis)
+    return (7.0 * (cm1 + c) - (cm2 + cp1)) / 12.0
