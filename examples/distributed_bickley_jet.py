@@ -57,7 +57,7 @@ def main():
     )
 
     model, state = build(args.nx, args.ny, first_pole_longitude=45.0,
-                         north_poles_latitude=35.0, decomposition=args.decomp)
+                         north_poles_latitude=35.0)
     if args.decomp == "2d":
         from orthogonalsphericalshellgrids_tpu.parallel import (
             distribute2d, gather_state2d, make_mesh2d, sharded_step_fn2d,

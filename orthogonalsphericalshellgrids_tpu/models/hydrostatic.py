@@ -235,8 +235,6 @@ def make_model(
     kappa_h: float = 0.0,   # horizontal tracer diffusivity [m²/s]
     nu4_h: float = 0.0,     # horizontal biharmonic viscosity [m⁴/s]
     kappa4_h: float = 0.0,  # horizontal biharmonic tracer diffusivity [m⁴/s]
-    decomposition: str = "1d",  # accepted for API clarity; both layouts now share the
-                                # widened-x ext grid, so it no longer changes the model
 ) -> HydrostaticModel:
     """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
     rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
@@ -264,6 +262,12 @@ def make_model(
             f"tracer_advection={tracer_advection!r} consumes {radius} halo cells per "
             f"side but the grid halo is ({grid.Hx}, {grid.Hy}) — rebuild the grid "
             f"with halo >= {radius} (the reference widens halos the same way)")
+    if (nu4_h > 0.0 or kappa4_h > 0.0) and min(grid.Hx, grid.Hy) < 2:
+        # biharmonic = laplacian∘laplacian: 2 halo cells of validity per side; the
+        # advection-radius check above doesn't cover this when the scheme radius is 1
+        raise ValueError(
+            f"biharmonic closures (nu4_h/kappa4_h) consume 2 halo cells per side but "
+            f"the grid halo is ({grid.Hx}, {grid.Hy}) — rebuild the grid with halo >= 2")
     forcing = dict(forcing or {})
     valid_targets = {"u", "v", *tracers}
     unknown = set(forcing) - valid_targets

@@ -8,9 +8,9 @@ extension target (BASELINE config #4).
 
 Layout: every distributed 2-D array is stored globally as
 ``(n_y*(ny+2Hy), n_x*(nx+2Hx))`` with ``P('y', 'x')`` sharding — each shard's block is
-its halo-inclusive local array. Models built for 2-D must use
-``make_model(..., decomposition="2d")`` so the free-surface grid carries widened
-x-halos (the barotropic loop shrinks validity in x instead of wrapping locally).
+its halo-inclusive local array. Any model works: the free-surface grid always
+carries widened x-halos, so the barotropic loop shrinks validity in x instead of
+wrapping locally (mandatory once x is sharded).
 """
 
 from __future__ import annotations
@@ -104,7 +104,7 @@ def _put(tree, mesh):
 
 
 def distribute2d(model: HydrostaticModel, state: State, mesh: Mesh):
-    """Partition a serial (decomposition='2d') model+state onto an (x, y) mesh."""
+    """Partition a serial model+state onto an (x, y) mesh."""
     n_y, n_x = mesh.devices.shape
     g, ge = model.grid, model.grid_ext
     ny, nx = _check_divisibility(g, ge, n_y, n_x)

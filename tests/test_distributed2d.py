@@ -32,7 +32,7 @@ def model_2d(nx=48, ny=32, substeps=6):
         return np.where(land, 1.0, 0.0)
 
     model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=substeps),
-                       bottom_height=bottom, decomposition="2d")
+                       bottom_height=bottom)
     state = initial_state(
         model,
         u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
