@@ -327,14 +327,18 @@ def make_model(
         inv_az_cc_e = _inv(ge_az_cc)
         # stacked operands for the Pallas barotropic kernel (ops/pallas_baro.py),
         # pre-padded to the kernel's row/lane alignment so the hot path never copies
-        # the static planes
-        from ..ops.pallas_baro import pad_pack
+        # the static planes; the block size must match what the kernel auto-selects
+        # for this geometry (VMEM-budgeted, ops/pallas_baro.auto_block_rows)
+        from ..ops.pallas_baro import auto_block_rows, pad_pack
 
+        block = auto_block_rows(ge_dx_fc.shape[0], ge_dx_fc.shape[1],
+                                int(free_surface.weights.shape[0]),
+                                jnp.dtype(dt).itemsize)
         baro_pack = pad_pack(jnp.stack([
             ge_dy_fc, ge_dx_cf, inv_az_cc_e,
             g_accel * h_u_e * inv_dx_fc_e,   # pressure-gradient factor / dtau; h_u is
             g_accel * h_v_e * inv_dy_cf_e,   # exactly 0 on land, so no mask plane
-        ]))
+        ]), block)
         inv_dx_fc = _inv(g_dx_fc)
         inv_dy_cf = _inv(g_dy_cf)
         inv_az_ff = _inv(g_az_ff)
@@ -617,56 +621,138 @@ def _model_rows(model: HydrostaticModel, r0: int, r1: int) -> HydrostaticModel:
     return jax.tree_util.tree_map_with_path(sl, model)
 
 
-def tendencies_overlapped(model: HydrostaticModel, state: State, spmd: Spmd):
-    """Interior/boundary-split tendency evaluation (SURVEY.md §2.3's comm/compute
-    overlap; reference context ``src/distributed_tripolar_grid.jl:171``).
+def _model_cols(model, c0: int, c1: int):
+    """Column-sliced model view — the x-direction analog of ``_model_rows`` for the
+    2-D decomposition's west/east boundary strips."""
+    from ..parallel import layouts
 
-    The unsplit path makes the WHOLE tendency compute data-dependent on the ppermute
-    halo exchange (the stencils read the concatenated exchanged rows), so XLA cannot
-    overlap them. Here the dependency is cut by construction:
+    def sl(path, leaf):
+        if layouts.leaf_layout(path) != layouts.BASE or getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        return leaf[..., :, c0:c1]
 
-    - the bulk tendency pass runs on the LOCAL array with only the (local) periodic
-      x-wrap applied — no dependence on any collective, so the scheduler is free to
-      run the ppermute exchange concurrently with it;
-    - rows whose stencils reach the exchanged halo rows (the Hy interior rows at each
-      end; total stencil radius <= Hy by the halo-width contract) are recomputed on
-      thin 3*Hy-row strips of the fully exchanged array and patched in.
+    return jax.tree_util.tree_map_with_path(sl, model)
 
-    Patched rows are computed from exactly the same exchanged data as the unsplit
-    path, and unpatched rows read only local interior rows that the exchange never
-    touches — the result is bitwise-equal to the unsplit step (pinned by
-    tests/test_distributed.py::test_overlap_split_bitwise).
 
-    Returns (Gu, Gv, Gc, S_filled) with S_filled the fully halo-filled (u, v, c)
-    stack (callers that need filled prognostics reuse it)."""
+def overlap_radius(model) -> int:
+    """Effective horizontal stencil radius of one tendency evaluation (rows/columns a
+    tendency at cell j can read beyond j). Tracer flux form: G at cell j reads faces
+    j..j+1, and face j+1's reconstruction reads cells up to j+SCHEME_RADIUS (3 for
+    WENO-5) — the outer divergence adds nothing beyond the reconstruction radius.
+    Momentum (vector-invariant, WENO-5 vorticity): q_at_u at row j reconstructs from
+    q faces j-2..j+3, each a radius-1 curl reading u/v rows jf-1..jf — radius 3.
+    Closures (biharmonic: 2) and vertical terms (radius 1) are smaller for every
+    supported configuration."""
+    from ..ops.advection import SCHEME_RADIUS
+
+    r_mom = 3 if model.momentum_advection == "weno_vector_invariant" else 2
+    return max(r_mom, SCHEME_RADIUS[model.tracer_advection])
+
+
+def overlap_supported(model, grid) -> bool:
+    """Static check that the interior/boundary split is exact on this grid.
+
+    Bitwise equality of the split requires every KEPT bulk cell to read only cells
+    where the stale local array equals the exchanged one. In y that means
+    radius <= Hy - 1 — strictly less than Hy, because the zipper fold rewrites the
+    redundant half of the LAST INTERIOR ROW itself (ops/zipper.py, reference
+    ``src/zipper_boundary_condition.jl:95-104``), so the top kept row must not reach
+    row Ny. In x (2-D decomposition) radius <= Hx suffices (no interior column is
+    rewritten). The default halo (5) supports every radius-<=4 configuration; e.g.
+    weno7 on its minimum halo-4 grid does NOT split exactly and falls back to the
+    unsplit path."""
+    r = overlap_radius(model)
+    # Ny >= Hy keeps the 3*Hy-row strips in bounds; if the two patches overlap
+    # (Ny < 2*Hy) both write identical S_full-derived values, so exactness holds.
+    return r <= grid.Hy - 1 and r <= grid.Hx and grid.Ny >= grid.Hy
+
+
+def split_tendencies(model, S0, locs, signs, spmd, tend_from_stack, t):
+    """Generic interior/boundary-split tendency evaluation (SURVEY.md §2.3's
+    comm/compute overlap; reference context ``src/distributed_tripolar_grid.jl:171``).
+
+    The unsplit path makes the WHOLE tendency compute data-dependent on the halo
+    exchange (the stencils read the concatenated exchanged rows/columns), so XLA
+    cannot overlap them. Here the dependency is cut by construction:
+
+    - the bulk tendency pass runs on the LOCAL stack with no collective dependence
+      (1-D mesh: only the local periodic x-wrap applied; 2-D mesh: no fill at all —
+      x halos are remote), so the scheduler is free to run the ppermute/all_gather
+      exchange concurrently with it;
+    - cells whose stencils reach exchanged data — the Hy interior rows at each y end
+      and, on a 2-D mesh, the Hx interior columns at each x end — are recomputed on
+      thin strips of the fully exchanged stack and patched in.
+
+    Patched cells are computed from exactly the same exchanged data as the unsplit
+    path, and kept cells read only local interior data the exchange never touches
+    (guarded statically by ``overlap_supported``) — the result is bitwise-equal to
+    the unsplit step (tests/test_distributed{,2d}.py).
+
+    ``tend_from_stack(model_view, S_view, t)`` maps a (row- or column-sliced) model
+    view and a matching slice of the filled stack to a tuple of tendency arrays.
+    Returns (G_tuple, S_full)."""
     g = model.grid
-    H, ny = g.Hy, g.Ny  # local sizes inside shard_map
+    Hy, ny = g.Hy, g.Ny  # local sizes inside shard_map
+    two_d = isinstance(spmd, Spmd2D)
 
+    if two_d:
+        S_full = fill_halos_spmd2d_batch(S0, locs, signs, g.Nx, ny, g.Hx, Hy, spmd)
+        S_stale = S0  # x halos are remote under an x-partition: no local wrap exists
+    else:
+        S_full = fill_halos_spmd_batch(S0, locs, signs, g.Nx, ny, g.Hx, Hy, spmd)
+        # each 1-D shard holds the full x extent: the x-wrap is local
+        S_stale = zipper.wrap_x(S0, g.Nx, g.Hx, xp=jnp)
+
+    G = tend_from_stack(model, S_stale, t)
+
+    def ystrip(r0):
+        m_s = _model_rows(model, r0, r0 + 3 * Hy)
+        return tend_from_stack(m_s, S_full[..., r0 : r0 + 3 * Hy, :], t)
+
+    G_lo = ystrip(0)        # patches interior rows [Hy, 2Hy)
+    G_hi = ystrip(ny - Hy)  # patches interior rows [ny, ny+Hy) (incl. the fold row)
+
+    def merge_rows(bulk, lo, hi):
+        # row indexing on axis -2: Gc may carry a leading tracer/layer axis
+        bulk = bulk.at[..., Hy : 2 * Hy, :].set(lo[..., Hy : 2 * Hy, :])
+        return bulk.at[..., ny : ny + Hy, :].set(hi[..., Hy : 2 * Hy, :])
+
+    G = tuple(merge_rows(b, l, h) for b, l, h in zip(G, G_lo, G_hi))
+
+    if two_d:
+        Hx, nx = g.Hx, g.Nx
+
+        def xstrip(c0):
+            m_s = _model_cols(model, c0, c0 + 3 * Hx)
+            return tend_from_stack(m_s, S_full[..., :, c0 : c0 + 3 * Hx], t)
+
+        G_w = xstrip(0)        # patches interior columns [Hx, 2Hx)
+        G_e = xstrip(nx - Hx)  # patches interior columns [nx, nx+Hx)
+
+        def merge_cols(acc, w, e):
+            acc = acc.at[..., :, Hx : 2 * Hx].set(w[..., :, Hx : 2 * Hx])
+            return acc.at[..., :, nx : nx + Hx].set(e[..., :, Hx : 2 * Hx])
+
+        # column strips are computed from S_full over ALL rows, so corner cells are
+        # correct regardless of the row/column patch order
+        G = tuple(merge_cols(a, w, e) for a, w, e in zip(G, G_w, G_e))
+
+    return G, S_full
+
+
+def tendencies_overlapped(model: HydrostaticModel, state: State, spmd):
+    """Interior/boundary-split single-layer tendencies (see ``split_tendencies``).
+    Works on both the 1-D y mesh (``Spmd``) and the 2-D (x, y) mesh (``Spmd2D``).
+    Returns (Gu, Gv, Gc, S_filled); bitwise-equal to the unsplit path
+    (tests/test_distributed.py::test_overlap_split_bitwise and the 2-D variants)."""
     S0 = _stack_uvc(state.u, state.v, state.c)
     locs_uvc, signs_uvc = _uvc_locs_signs(state.c)
-    # local-only variant: x-wrap is local (each shard holds the full x extent in the
-    # 1-D decomposition); y halo rows stay stale and are never read by kept rows
-    S_stale = zipper.wrap_x(S0, g.Nx, g.Hx, xp=jnp)
-    # the full exchange — independent of the bulk compute below by construction
-    S_full = fill_halos_spmd_batch(S0, locs_uvc, signs_uvc, g.Nx, ny, g.Hx, H,
-                                   spmd)
 
-    G_bulk = tendencies(model, *_unstack_uvc(S_stale, state.c), t=state.t)
+    def tend(m_view, S_view, t):
+        return tendencies(m_view, *_unstack_uvc(S_view, state.c), t=t)
 
-    def strip(r0):
-        m_s = _model_rows(model, r0, r0 + 3 * H)
-        Ss = S_full[:, r0 : r0 + 3 * H, :]
-        return tendencies(m_s, *_unstack_uvc(Ss, state.c), t=state.t)
-
-    G_lo = strip(0)            # patches interior rows [H, 2H)
-    G_hi = strip(ny - H)       # patches interior rows [ny, ny+H)
-
-    def merge(bulk, lo, hi):
-        # row indexing on axis -2: Gc carries a leading tracer axis when n_tracers > 1
-        bulk = bulk.at[..., H : 2 * H, :].set(lo[..., H : 2 * H, :])
-        return bulk.at[..., ny : ny + H, :].set(hi[..., H : 2 * H, :])
-
-    Gu, Gv, Gc = (merge(b, l, h) for b, l, h in zip(G_bulk, G_lo, G_hi))
+    (Gu, Gv, Gc), S_full = split_tendencies(
+        model, S0, locs_uvc, signs_uvc, spmd, tend, state.t)
     return Gu, Gv, Gc, S_full
 
 
@@ -724,16 +810,25 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
 
     With ``spmd`` set (inside shard_map over a y mesh) the halo fills become ppermute
     neighbor exchanges; everything else — including the comm-free barotropic loop —
-    is unchanged local code (model metadata carries the LOCAL Ny). On the 1-D mesh
-    the tendency evaluation is interior/boundary-split by default (``overlap``):
-    the exchange and the bulk stencil compute are data-independent so they can run
-    concurrently; results stay bitwise-equal to the unsplit path."""
+    is unchanged local code (model metadata carries the LOCAL Ny). On both mesh
+    shapes (1-D ``Spmd`` and 2-D ``Spmd2D``) the tendency evaluation is
+    interior/boundary-split by default when the halo width statically supports it
+    (``overlap``/``overlap_supported``): the exchange and the bulk stencil compute
+    are data-independent so they can run concurrently; results stay bitwise-equal
+    to the unsplit path."""
     g = model.grid
     ge = model.grid_ext
     dt = jnp.asarray(dt, model.dtype)
 
     if overlap is None:
-        overlap = isinstance(spmd, Spmd) and spmd.n_shards > 1
+        sharded = (isinstance(spmd, Spmd) and spmd.n_shards > 1) or \
+                  (isinstance(spmd, Spmd2D) and spmd.n_x * spmd.n_y > 1)
+        overlap = sharded and overlap_supported(model, g)
+    elif overlap and not overlap_supported(model, g):
+        raise ValueError(
+            f"overlap split is not exact for this configuration: effective stencil "
+            f"radius {overlap_radius(model)} needs Hy >= radius+1 and Hx >= radius "
+            f"(grid halo is ({g.Hx}, {g.Hy})) — widen the halo or pass overlap=False")
 
     # Halo-fill mode: per-field for serial runs (the stack/unstack round-trips of the
     # batched path cost ~200 us/step on a v5e at 1/4 degree — measured, see

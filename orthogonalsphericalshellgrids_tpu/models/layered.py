@@ -45,8 +45,9 @@ from ..ops.advection import (centered_faces_from_centers, tracer_faces,
                              weno5_upwind_centers_from_faces,
                              weno5_upwind_faces_from_centers)
 from ..ops.location import CC, CF, FC
+from ..ops.spmd2d import Spmd2D
 from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
-from .hydrostatic import (HydrostaticModel, _CHI, _fill_batch, _inv,
+from .hydrostatic import (HydrostaticModel, _CHI, _fill, _fill_batch, _inv,
                           barotropic_substeps, crop_ext, embed_ext, make_model)
 from .split_explicit import SplitExplicitFreeSurface
 
@@ -382,7 +383,9 @@ def vertical_velocity(model: LayeredModel, u, v):
     must be halo-filled."""
     g = model.grid
     hdiv = (dxc(g.dy_fc * model.dzu * u) + dyc(g.dx_cf * model.dzv * v)) * _inv(g.az_cc)
-    below = jnp.flip(jnp.cumsum(jnp.flip(hdiv, 0), axis=0), 0)   # Σ_{j>=k} D_j
+    # Σ_{j>=k} D_j as a native reverse cumsum: flip(cumsum(flip(x))) materializes two
+    # extra full-stack copies that XLA does not elide (measured on v5e at 1/4 degree)
+    below = jax.lax.cumsum(hdiv, axis=0, reverse=True)
     return jnp.concatenate([-below, jnp.zeros_like(hdiv[:1])], axis=0)
 
 
@@ -671,43 +674,138 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
 def _fill3(model: LayeredModel, A, loc, sign, spmd=None):
     """Halo fill of an (Nz, Yb, Xb) stack — every zipper/ppermute op broadcasts over
     the leading layer axis. Serial / 1-D Spmd / 2-D Spmd2D all supported (the 2-D
-    path routes the layer planes through the batched fold-aware strip-gather fill)."""
+    path routes the layer planes through the batched fold-aware strip-gather fill).
+    The serial path uses the uniform-location broadcast fill directly (strip writes
+    only — no per-plane select machinery, no stack copy)."""
     g = model.grid
+    if spmd is None or getattr(spmd, "n_shards", 2) == 1:
+        return zipper.fill_halos(A, loc, sign, g.Nx, g.Ny, g.Hx, g.Hy,
+                                 south="zero_gradient", xp=jnp)
     nz = A.shape[0]
     return _fill_batch(g, A, [loc] * nz, [sign] * nz, spmd)
 
 
-def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> LayeredState:
+def _layered_stack(model: LayeredModel, state: LayeredState):
+    """(planes, locs, signs) for one batched fill of every baroclinic prognostic."""
+    nz = model.nz
+    ncp = state.c.shape[0]
+    planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
+    locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
+    signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
+    return jnp.concatenate(planes, axis=0), locs, signs
+
+
+def _layered_unstack(model: LayeredModel, state: LayeredState, S):
+    nz = model.nz
+    ncp = state.c.shape[0]
+    u, v, c = S[:nz], S[nz : 2 * nz], S[2 * nz : 2 * nz + ncp]
+    b = S[2 * nz + ncp :] if model.has_b else state.b
+    return u, v, c, b
+
+
+def layered_tendencies_overlapped(model: LayeredModel, state: LayeredState, spmd):
+    """Interior/boundary-split layered tendencies (models/hydrostatic.py::
+    split_tendencies applied to the (3-4)·Nz-plane stack): the bulk per-layer
+    stencil pass has no data dependence on the halo exchange, so XLA can run the
+    ppermute/all_gather collectives concurrently with it; boundary rows/columns are
+    recomputed on thin strips of the exchanged stack and patched in. Works on the
+    1-D y mesh (``Spmd``) and the 2-D (x, y) mesh (``Spmd2D``); bitwise-equal to
+    the unsplit layered step (tests/test_distributed{,2d}.py).
+
+    All vertical operators (continuity w, w-advection, implicit/explicit mixing,
+    hydrostatic pressure, EOS) are column-local, so the row/column-sliced model
+    views slice them consistently — only the horizontal stencil radius matters, and
+    it is the same as the single-layer model's (``overlap_radius``)."""
+    from .hydrostatic import split_tendencies
+
+    S0, locs, signs = _layered_stack(model, state)
+
+    def tend(m_view, S_view, t):
+        # nz/ncp are static meta — identical on sliced views; with no prognostic b
+        # the (full-size, unused) state.b placeholder must stay OUT of the strip
+        # merge, so Gb is dropped here and re-attached by the caller
+        u, v, c, b = _layered_unstack(model, state, S_view)
+        Gu, Gv, Gc, Gb = layered_tendencies(m_view, u, v, c, b, t=t)
+        return (Gu, Gv, Gc, Gb) if model.has_b else (Gu, Gv, Gc)
+
+    G, _ = split_tendencies(model, S0, locs, signs, spmd, tend, state.t)
+    if model.has_b:
+        return G
+    return G + (jnp.zeros_like(state.b),)
+
+
+def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
+                 fill_mode=None, overlap=None) -> LayeredState:
     """One layered time step: halo fills, per-layer tendencies, quasi-AB2, barotropic
     subcycling of (η, U, V) with the thickness-weighted baroclinic forcing, then the
     split-explicit corrector that replaces each column's depth-mean velocity with the
     subcycle average.
 
     ``spmd`` may be a 1-D ``Spmd`` (y mesh) or a 2-D ``Spmd2D`` ((x, y) mesh with the
-    fold-aware strip gather) — the same dispatch as the single-layer step. All layer
-    planes of all prognostics fill in ONE batched exchange (one collective pair per
-    direction for the whole (3-4)·Nz-plane stack)."""
+    fold-aware strip gather) — the same dispatch as the single-layer step.
+
+    Halo-fill mode mirrors the single-layer ``step``: serial runs fill each
+    prognostic GROUP in place (the zipper ops broadcast over the leading layer axis,
+    so u/v/c/b fill with zero stack copies — the (3-4)·Nz-plane concat/split of the
+    batched path is ~15% of the serial step at 1/4°×10, measured on v5e); SPMD runs
+    concatenate everything into ONE batched exchange (one collective pair per
+    direction for the whole stack beats per-group ppermutes)."""
     g = model.grid
     m = model.baro
     ge = m.grid_ext
     nz = model.nz
     dt = jnp.asarray(dt, model.dtype)
+    if fill_mode is None:
+        fill_mode = "batch" if spmd is not None else "per"
+    if overlap is None:
+        from ..ops.spmd import Spmd
+        from .hydrostatic import overlap_supported
 
-    # one batched fill for every baroclinic prognostic plane (tracer stack included)
+        sharded = (isinstance(spmd, Spmd) and spmd.n_shards > 1) or \
+                  (isinstance(spmd, Spmd2D) and spmd.n_x * spmd.n_y > 1)
+        overlap = sharded and overlap_supported(m, g)
+    elif overlap:
+        from .hydrostatic import overlap_radius, overlap_supported
+
+        if not overlap_supported(m, g):
+            raise ValueError(
+                f"overlap split is not exact for this configuration: effective "
+                f"stencil radius {overlap_radius(m)} needs Hy >= radius+1 and "
+                f"Hx >= radius (grid halo is ({g.Hx}, {g.Hy}))")
+
     ncp = state.c.shape[0]  # n_tracers * nz tracer planes
-    planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
-    locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
-    signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
-    SB = _fill_batch(g, jnp.concatenate(planes, axis=0), locs, signs, spmd)
-    u, v, c = SB[:nz], SB[nz : 2 * nz], SB[2 * nz : 2 * nz + ncp]
-    b = SB[2 * nz + ncp :] if model.has_b else state.b
+    if overlap:
+        # free-surface fields exchanged first — like the prognostic exchange inside
+        # the split, this collective has no dependence on the bulk stencil pass
+        SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
+                          [CC, FC, CF], [1, -1, -1], spmd)
+        eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
+        Gu, Gv, Gc, Gb = layered_tendencies_overlapped(model, state, spmd)
+    elif fill_mode == "per" and spmd is None:
+        # per-group broadcast fills: no concat, strip writes only
+        u = _fill3(model, state.u, FC, -1)
+        v = _fill3(model, state.v, CF, -1)
+        c = _fill3(model, state.c, CC, 1)
+        b = _fill3(model, state.b, CC, 1) if model.has_b else state.b
+        eta_f = _fill(ge, state.eta, CC, 1)
+        U_f = _fill(ge, state.U, FC, -1)
+        V_f = _fill(ge, state.V, CF, -1)
+    else:
+        # one batched fill for every baroclinic prognostic plane (tracer stack included)
+        planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
+        locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
+        signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
+        SB = _fill_batch(g, jnp.concatenate(planes, axis=0), locs, signs, spmd)
+        u, v, c = SB[:nz], SB[nz : 2 * nz], SB[2 * nz : 2 * nz + ncp]
+        b = SB[2 * nz + ncp :] if model.has_b else state.b
 
-    # free-surface fields exchanged early (overlappable with the tendency stencils)
-    SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
-                      [CC, FC, CF], [1, -1, -1], spmd)
-    eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
+        # free-surface fields exchanged early (overlappable with the tendency stencils)
+        SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
+                          [CC, FC, CF], [1, -1, -1], spmd)
+        eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
 
-    Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b, t=state.t)
+    if not overlap:
+        Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b, t=state.t)
 
     first = state.iteration == 0
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
@@ -722,8 +820,12 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
     GVb = jnp.sum(Gv_s * model.dzv, axis=0)
     GU0 = embed_ext(g, ge, GUb)
     GV0 = embed_ext(g, ge, GVb)
-    SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
-    GU_f, GV_f = SG[0], SG[1]
+    if fill_mode == "per" and spmd is None:
+        GU_f = _fill(ge, GU0, FC, -1)
+        GV_f = _fill(ge, GV0, CF, -1)
+    else:
+        SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
+        GU_f, GV_f = SG[0], SG[1]
 
     n_sub = int(m.weights.shape[0])
     eta_a, U_a, V_a = barotropic_substeps(
@@ -764,11 +866,12 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None) -> Lay
 
 
 def layered_multi_step(model: LayeredModel, state: LayeredState, dt, n_steps: int,
-                       spmd=None) -> LayeredState:
+                       spmd=None, fill_mode=None, overlap=None) -> LayeredState:
     """n_steps layered steps in one traced computation (lax.scan)."""
 
     def body(s, _):
-        return layered_step(model, s, dt, spmd=spmd), None
+        return layered_step(model, s, dt, spmd=spmd, fill_mode=fill_mode,
+                            overlap=overlap), None
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out

@@ -29,9 +29,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["barotropic_substeps_pallas", "pad_pack", "DEFAULT_BLOCK_ROWS"]
+__all__ = ["barotropic_substeps_pallas", "pad_pack", "auto_block_rows",
+           "DEFAULT_BLOCK_ROWS"]
 
 DEFAULT_BLOCK_ROWS = 152  # v5e sweep at 1/4 deg: 152 > 128 > 96 (see docs/performance.md)
+
+# Scoped-VMEM budget for the auto block chooser. The hardware window is 16 MB on
+# v5e; leave headroom because XLA's memory-space assignment may co-locate operand /
+# output prefetch copies with the kernel's scoped stack (observed: an identical
+# kernel geometry compiles inside one surrounding graph and OOMs at 17.95M/16M
+# inside another).
+_VMEM_BUDGET_BYTES = 14 * 2**20
+
+
+def auto_block_rows(Ye, Xe, n_sub, itemsize=4, block_rows=None):
+    """Largest block size B (multiple of 8, capped at DEFAULT_BLOCK_ROWS) whose
+    kernel VMEM footprint — two 5-plane W-row scratch windows plus three B-row
+    output blocks — fits the budget. The sweep in docs/performance.md is flat for
+    B in [104, 152] at 1/4 degree, so shrinking below the cap costs ~nothing."""
+    if block_rows is not None:
+        return block_rows
+    Xe_pad = -128 * (-Xe // 128)
+    B = DEFAULT_BLOCK_ROWS
+    while B > 8:
+        Bk, W, _, _ = _geometry(Ye, n_sub, B)  # honors the small-grid single-window case
+        if (10 * W + 3 * Bk) * Xe_pad * itemsize <= _VMEM_BUDGET_BYTES or Bk != B:
+            break
+        B -= 8
+    return B
 
 
 def _geometry(Ye, n_sub, block_rows):
@@ -63,8 +88,16 @@ def pad_pack(pack, block_rows: int = DEFAULT_BLOCK_ROWS):
 
 
 def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
-            sbuf, dbuf, acc, sem_s, sem_d,
-            *, n_sub, W, B, Ye, Xe, Nx, Hx, wrap=True, acc_window=True):
+            sbuf, dbuf, *scratch,
+            n_sub, W, B, Ye, Xe, Nx, Hx, wrap=True, acc_window=True):
+    # Default (acc_window=False): the SM05 averages accumulate DIRECTLY into the
+    # three VMEM output blocks — no accumulator scratch, saving 3*B rows of VMEM
+    # (the difference between fitting and OOMing the 16 MB scoped window at 1/4°).
+    if acc_window:
+        acc, sem_s, sem_d = scratch
+    else:
+        sem_s, sem_d = scratch
+        acc = None
     p = pl.program_id(0)
     start = jnp.clip(p * B - (W - B) // 2, 0, Ye - W)  # Ye = padded row count
     # B, W, Ye are multiples of 8, so start/off are too — hint Mosaic so the dynamic
@@ -140,26 +173,27 @@ def _kernel(dtau_ref, w_ref, spack_ref, dpack_ref, eta_out, U_out, V_out,
             acc[1] += w * dbuf[U]
             acc[2] += w * dbuf[V]
         else:
-            acc[0] += w * dbuf[ETA, pl.ds(off, B), :]
-            acc[1] += w * dbuf[U, pl.ds(off, B), :]
-            acc[2] += w * dbuf[V, pl.ds(off, B), :]
+            eta_out[...] += w * dbuf[ETA, pl.ds(off, B), :]
+            U_out[...] += w * dbuf[U, pl.ds(off, B), :]
+            V_out[...] += w * dbuf[V, pl.ds(off, B), :]
         return 0
 
-    acc[...] = jnp.zeros(acc.shape, acc.dtype)
+    if acc_window:
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
+    else:
+        eta_out[...] = jnp.zeros(eta_out.shape, eta_out.dtype)
+        U_out[...] = jnp.zeros(U_out.shape, U_out.dtype)
+        V_out[...] = jnp.zeros(V_out.shape, V_out.dtype)
     jax.lax.fori_loop(0, n_sub, substep, 0)
 
     if acc_window:
         eta_out[...] = acc[0, pl.ds(off, B), :]
         U_out[...] = acc[1, pl.ds(off, B), :]
         V_out[...] = acc[2, pl.ds(off, B), :]
-    else:
-        eta_out[...] = acc[0]
-        U_out[...] = acc[1]
-        V_out[...] = acc[2]
 
 
 def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
-                               Nx, Hx, block_rows=DEFAULT_BLOCK_ROWS, interpret=False,
+                               Nx, Hx, block_rows=None, interpret=False,
                                dpack=None, wrap_x_each_substep=True,
                                vmem_limit_mb=None, crop=True, acc_window=False):
     """Run the full barotropic loop in one Pallas kernel.
@@ -177,6 +211,8 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
     """
     Ye, Xe = eta.shape
     n_sub = int(weights.shape[0])
+    block_rows = auto_block_rows(Ye, Xe, n_sub, jnp.dtype(eta.dtype).itemsize,
+                                 block_rows)
     B, W, n_prog, Ye_pad = _geometry(Ye, n_sub, block_rows)
     Xe_pad = -128 * (-Xe // 128)
 
@@ -207,7 +243,7 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
         scratch_shapes=[
             pltpu.VMEM((5, W, Xe_pad), eta.dtype),
             pltpu.VMEM((5, W, Xe_pad), eta.dtype),
-            pltpu.VMEM((3, W if acc_window else B, Xe_pad), eta.dtype),
+        ] + ([pltpu.VMEM((3, W, Xe_pad), eta.dtype)] if acc_window else []) + [
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -553,3 +553,23 @@ def test_implicit_stable_and_homogenizing_at_huge_kappa():
     se = layered_initial_state(me, c=lambda l, p, z: 1.0 + z / 1000.0)
     oe = run_layered(me, se, 10)
     assert float(jnp.max(jnp.abs(oe.c))) > 1e6
+
+
+def test_layered_fill_modes_bitwise_equal():
+    """The serial per-group broadcast fill path ('per', the serial default) must be
+    bitwise-equal to the concatenated batch path ('batch', the SPMD layout) — same
+    guarantee the single-layer step pins in test_tracers.py. Uses buoyancy + multi-
+    tracer so every fill group (u, v, c-stack, b, eta/U/V, GU/GV) is exercised."""
+    m = make_layered_model(
+        make_grid(3), free_surface=SplitExplicitFreeSurface(substeps=8),
+        bottom_height=bottom, tracers=("T", "S"), buoyancy=True)
+    s0 = layered_initial_state(
+        m, u=lambda l, p, z: ui(l, p), v=lambda l, p, z: vi(l, p),
+        c={"T": lambda l, p, z: ci(l, p)}, b=lambda l, p, z: 1e-4 * ci(l, p))
+    run = jax.jit(layered_multi_step, static_argnums=(3, 4, 5))
+    s_per = run(m, s0, 60.0, 4, None, "per")
+    s_bat = run(m, s0, 60.0, 4, None, "batch")
+    for name in ("u", "v", "c", "b", "eta", "U", "V"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_per, name)), np.asarray(getattr(s_bat, name)),
+            err_msg=name)
