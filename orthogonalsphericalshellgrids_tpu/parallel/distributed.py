@@ -251,8 +251,13 @@ def gather_layered_state(dist_state, model_serial, n: int):
     return _gather_tree(dist_state, n, model_serial.grid, model_serial.baro.grid_ext)
 
 
-def sharded_layered_step_fn(mesh: Mesh, dist_model):
-    """Jitted shard_map-wrapped layered step over the mesh: (state, dt) -> state."""
+def sharded_layered_step_fn(mesh: Mesh, dist_model, overlap=None):
+    """Jitted shard_map-wrapped layered step over the mesh: (state, dt) -> state.
+
+    ``overlap`` (default: on when the halo width statically supports it) selects the
+    interior/boundary-split tendency path — the exchange collectives and the bulk
+    per-layer stencil pass are data-independent so they can run concurrently;
+    results are bitwise-equal either way (test_layered_overlap_split_bitwise)."""
     from ..models import layered as lay
 
     n = mesh.devices.size
@@ -262,7 +267,7 @@ def sharded_layered_step_fn(mesh: Mesh, dist_model):
     def run(dist_state, dt):
         state_specs = jax.tree_util.tree_map(_pspec_for, dist_state)
         fn = jax.shard_map(
-            partial(lay.layered_step, spmd=spmd),
+            partial(lay.layered_step, spmd=spmd, overlap=overlap),
             mesh=mesh,
             in_specs=(model_specs, state_specs, P()),
             out_specs=state_specs,

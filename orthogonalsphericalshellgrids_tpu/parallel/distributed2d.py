@@ -156,8 +156,14 @@ def gather_state2d(dist_state: State, model_serial: HydrostaticModel, mesh: Mesh
     return _gather_tree2d(dist_state, mesh, model_serial.grid, model_serial.grid_ext)
 
 
-def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int):
-    """Jitted shard_map-wrapped 2-D step: (state, dt) -> state."""
+def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int,
+                      overlap=None):
+    """Jitted shard_map-wrapped 2-D step: (state, dt) -> state.
+
+    ``overlap`` (default: on when the halo width statically supports it) selects the
+    interior/boundary split in BOTH directions: the bulk pass reads only local
+    interior data, boundary rows AND columns are recomputed on strips of the
+    exchanged stack; bitwise-equal either way (tests/test_distributed2d.py)."""
     n_y, n_x = mesh.devices.shape
     spmd = Spmd2D(axis_x="x", axis_y="y", n_x=n_x, n_y=n_y, nx_global=nx_global)
 
@@ -166,7 +172,7 @@ def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int):
     def run(dist_state, dt):
         state_specs = jax.tree_util.tree_map(_pspec_for, dist_state)
         fn = jax.shard_map(
-            partial(hydro.step, spmd=spmd),
+            partial(hydro.step, spmd=spmd, overlap=overlap),
             mesh=mesh,
             in_specs=(model_specs, state_specs, P()),
             out_specs=state_specs,
@@ -209,8 +215,9 @@ def gather_layered_state2d(dist_state, model_serial, mesh: Mesh):
                           model_serial.baro.grid_ext)
 
 
-def sharded_layered_step_fn2d(mesh: Mesh, dist_model, nx_global: int):
-    """Jitted shard_map-wrapped 2-D layered step: (state, dt) -> state."""
+def sharded_layered_step_fn2d(mesh: Mesh, dist_model, nx_global: int, overlap=None):
+    """Jitted shard_map-wrapped 2-D layered step: (state, dt) -> state. ``overlap``
+    as in ``sharded_step_fn2d`` (split in both directions, bitwise-equal)."""
     from ..models import layered as lay
 
     n_y, n_x = mesh.devices.shape
@@ -220,7 +227,7 @@ def sharded_layered_step_fn2d(mesh: Mesh, dist_model, nx_global: int):
     def run(dist_state, dt):
         state_specs = jax.tree_util.tree_map(_pspec_for, dist_state)
         fn = jax.shard_map(
-            partial(lay.layered_step, spmd=spmd),
+            partial(lay.layered_step, spmd=spmd, overlap=overlap),
             mesh=mesh,
             in_specs=(model_specs, state_specs, P()),
             out_specs=state_specs,

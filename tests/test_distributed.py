@@ -368,3 +368,67 @@ def test_sharded_layered_multi_tracer_eos():
         np.testing.assert_allclose(
             np.asarray(getattr(got, name)[I3]), np.asarray(getattr(ss, name)[I3]),
             rtol=0, atol=1e-13, err_msg=name)
+
+
+def test_layered_overlap_split_bitwise():
+    """The LAYERED interior/boundary-split path (the whole (3-4)*Nz-plane stack
+    exchanged while the bulk per-layer stencils run) must be bitwise-equal to the
+    unsplit sharded layered step — buoyancy, vertical mixing and wind/drag included
+    (they all route through the same split)."""
+    from orthogonalsphericalshellgrids_tpu.models import (
+        layered_initial_state, make_layered_model,
+    )
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute_layered, gather_layered_state, sharded_layered_step_fn,
+    )
+
+    grid = osg.TripolarGrid.make((32, 48, 3), dtype=jnp.float64, z=(-900.0, 0.0),
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, -900.0)
+
+    model = make_layered_model(
+        grid, free_surface=SplitExplicitFreeSurface(substeps=6),
+        bottom_height=bottom, buoyancy=True, coriolis=True, nu_h=1e3, kappa_v=1e-4,
+        bottom_drag=("quadratic", 2.5e-3),
+        wind_stress=lambda lam, phi: (np.full_like(lam, 1e-4), np.zeros_like(lam)))
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi, z: 0.05 * np.sin(np.deg2rad(lam) * 3),
+        c=lambda lam, phi, z: np.sin(2 * np.pi * np.deg2rad(phi) * 8 / 167.0),
+        b=lambda lam, phi, z: 1e-5 * z + 1e-4 * np.sin(np.deg2rad(lam)),
+    )
+    n = 4
+    mesh = make_mesh(n)
+    dist_model, dist_state = distribute_layered(model, state, mesh)
+    fn_split = sharded_layered_step_fn(mesh, dist_model, overlap=True)
+    fn_unsplit = sharded_layered_step_fn(mesh, dist_model, overlap=False)
+
+    sa = sb = dist_state
+    for _ in range(3):
+        sa = fn_split(sa, 60.0)
+        sb = fn_unsplit(sb, 60.0)
+
+    ga = gather_layered_state(sa, model, n)
+    gb = gather_layered_state(sb, model, n)
+    g = model.grid
+    ge = model.baro.grid_ext
+    I3 = (slice(None),) + g.interior2d
+    for name in ("u", "v", "c", "b"):
+        np.testing.assert_array_equal(np.asarray(getattr(ga, name))[I3],
+                                      np.asarray(getattr(gb, name))[I3], err_msg=name)
+    for name in ("eta", "U", "V"):
+        np.testing.assert_array_equal(np.asarray(ge.interior(getattr(ga, name))),
+                                      np.asarray(ge.interior(getattr(gb, name))),
+                                      err_msg=name)
+    for name in ("Gu", "Gv", "Gc", "Gb"):
+        np.testing.assert_allclose(np.asarray(getattr(ga, name))[I3],
+                                   np.asarray(getattr(gb, name))[I3],
+                                   rtol=1e-11, atol=1e-24, err_msg=name)

