@@ -27,14 +27,23 @@ from examples.bickley_jet import build
 from orthogonalsphericalshellgrids_tpu.models.hydrostatic import multi_step
 
 
-def main(nx=1440, ny=680, substeps=30, blocks=2):
+def main(nx=1440, ny=680, substeps=30, blocks=2, layered=0, nz=10):
     # Default grid = bench.py's 1/4-degree grid so numerator and denominator use the
     # IDENTICAL workload (a small-grid CPU number would flatter the ratio: 360x180
     # is partly cache-resident and measures ~1.3x faster per point on this host).
-    model, state = build(nx=nx, ny=ny, substeps=substeps)
-    block = 10
-    sj = jax.jit(partial(multi_step, n_steps=block), donate_argnums=(1,))
-    dt = 60.0
+    # ``layered=1``: bench_layered.py's workload instead (T/S gyre, Nz layers).
+    if layered:
+        from examples.wind_driven_ts_gyre import build as build_gyre
+        from orthogonalsphericalshellgrids_tpu.models.layered import (
+            layered_multi_step as stepper)
+
+        model, state = build_gyre(nx=nx, ny=ny, nz=nz, substeps=substeps)
+        block, dt = 5, 40.0
+    else:
+        model, state = build(nx=nx, ny=ny, substeps=substeps)
+        stepper, block, dt = multi_step, 10, 60.0
+        nz = 1
+    sj = jax.jit(partial(stepper, n_steps=block), donate_argnums=(1,))
     s = sj(model, state, dt)  # warmup/compile
     jax.block_until_ready(s)
     best = float("inf")
@@ -44,10 +53,15 @@ def main(nx=1440, ny=680, substeps=30, blocks=2):
             s = sj(model, s, dt)
         jax.block_until_ready(s)
         best = min(best, time.perf_counter() - t0)
-    pts = nx * ny * blocks * block / best
-    print(json.dumps({"cpu_points_per_s": round(pts, 1), "nx": nx, "ny": ny,
+    pts = nx * ny * nz * blocks * block / best
+    print(json.dumps({"cpu_points_per_s": round(pts, 1), "nx": nx, "ny": ny, "nz": nz,
+                      "layered": bool(layered),
                       "elapsed_s": round(best, 3), "threads": os.cpu_count()}))
 
 
 if __name__ == "__main__":
-    main()
+    kw = {}
+    for arg in sys.argv[1:]:
+        k, v = arg.lstrip("-").split("=")
+        kw[k] = int(v)
+    main(**kw)
