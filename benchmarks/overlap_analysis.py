@@ -117,19 +117,25 @@ def analyze(overlap):
     dm, ds = distribute(model, state, mesh)
     fn = sharded_step_fn(mesh, dm, overlap=overlap)
     hlo = fn.lower(ds, 60.0).compile().as_text()
+    return _analyze_hlo(hlo, dm.grid, dm.grid_ext, overlap)
 
+
+def _analyze_hlo(hlo, gl, gle, overlap):
+    """Classify the compiled ENTRY by row counts DERIVED from the local grid
+    metadata (no magic geometry): the baroclinic exchange payload carries Hy halo
+    rows, the extended-stack pairs Hy_ext; bulk fusions are full local height."""
     table = parse_entry(hlo)
-    # the u/v/c exchange: the ppermute pair whose payload has Hy=4 halo rows
-    # (the ext-stack pairs carry Hy_ext rows and a wider x extent)
-    base_rows = 4  # grid default halo
+    base_rows = gl.Hy
+    assert gle.Hy != base_rows, (
+        "base and extended halos coincide; row-count classification is ambiguous")
     uvc_perms = [n for n, (shape, op, _) in table.items()
                  if op == "collective-permute" and rows_of(shape) == base_rows]
     assert uvc_perms, "u/v/c exchange ppermutes not found"
     downstream = dependents(table, uvc_perms)
 
-    # full-height fusions = candidate bulk tendency work (rows == ny + 2*Hy = 16
-    # for ny=8); strip fusions have 3*Hy = 12 rows
-    ny_rows = 64 // 8 + 2 * base_rows
+    # full-height fusions = candidate bulk tendency work; boundary-strip fusions
+    # have 3*Hy rows and may legitimately depend on the exchange
+    ny_rows = gl.Ny + 2 * gl.Hy
     full_fusions = [n for n, (shape, op, _) in table.items()
                     if op == "fusion" and rows_of(shape) == ny_rows]
     full_dep = [n for n in full_fusions if n in downstream]
@@ -145,18 +151,49 @@ def analyze(overlap):
     }
 
 
+def analyze_layered(overlap):
+    """Same dependency analysis for the LAYERED 1-D sharded step (the whole
+    (3-4)*Nz-plane stack exchanged in one ppermute pair)."""
+    from orthogonalsphericalshellgrids_tpu.models import (
+        layered_initial_state, make_layered_model)
+    from orthogonalsphericalshellgrids_tpu.parallel import (
+        distribute_layered, sharded_layered_step_fn)
+
+    g = osg.TripolarGrid.make((64, 64, 3), dtype=jnp.float64, z=(-1000.0, 0.0),
+                              first_pole_longitude=45.0, north_poles_latitude=25.0)
+
+    def bottom(lam, phi):
+        land = (((np.abs(lam - 45.0) < 10) & (np.abs(25.0 - phi) < 10))
+                | ((np.abs(lam - 225.0) < 10) & (np.abs(25.0 - phi) < 10))
+                | (phi < -78))
+        return np.where(land, 1.0, -1000.0)
+
+    model = make_layered_model(g, free_surface=SplitExplicitFreeSurface(substeps=8),
+                               bottom_height=bottom, buoyancy=True)
+    state = layered_initial_state(
+        model, u=lambda lam, phi, z: 1 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        b=lambda lam, phi, z: 1e-5 * z)
+    mesh = make_mesh(8)
+    dm, ds = distribute_layered(model, state, mesh)
+    fn = sharded_layered_step_fn(mesh, dm, overlap=overlap)
+    hlo = fn.lower(ds, 60.0).compile().as_text()
+    return _analyze_hlo(hlo, dm.grid, dm.baro.grid_ext, overlap)
+
+
 def main():
-    rows = [analyze(False), analyze(True)]
-    print("| variant | ENTRY instrs | instrs downstream of u/v/c exchange | "
-          "full-height fusions | ...of which depend on exchange |")
-    print("|---|---|---|---|---|")
-    for r in rows:
-        print(f"| overlap={r['overlap']} | {r['n_instructions']} | "
-              f"{r['n_downstream']} | {r['n_full_fusions']} | "
-              f"{r['n_full_fusions_dep_on_exchange']} |")
-    for r in rows:
-        print(f"\noverlap={r['overlap']}: exchange ops {r['uvc_ppermutes']}; "
-              f"full-height fusions depending on them: {r['full_fusions_dep']}")
+    for label, fn in [("single-layer", analyze), ("layered", analyze_layered)]:
+        rows = [fn(False), fn(True)]
+        print(f"\n### {label}")
+        print("| variant | ENTRY instrs | instrs downstream of u/v/c exchange | "
+              "full-height fusions | ...of which depend on exchange |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            print(f"| overlap={r['overlap']} | {r['n_instructions']} | "
+                  f"{r['n_downstream']} | {r['n_full_fusions']} | "
+                  f"{r['n_full_fusions_dep_on_exchange']} |")
+        for r in rows:
+            print(f"overlap={r['overlap']}: exchange ops {r['uvc_ppermutes']}; "
+                  f"full-height fusions depending on them: {r['full_fusions_dep']}")
 
 
 if __name__ == "__main__":
