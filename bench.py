@@ -75,7 +75,37 @@ def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):
         "value": round(points_per_s, 1),
         "unit": "grid-points/s/chip",
         "vs_baseline": round(points_per_s / MEASURED_CPU_HOST_POINTS_PER_S, 3),
-    }))
+    }), flush=True)
+
+    # Real-hardware shard_map smoke (non-fatal for the headline line above): all
+    # shard_map/ppermute correctness tests run on virtual CPU devices, so without
+    # this the TPU-compiled collective path (Mosaic kernel under shard_map +
+    # ppermute/all_gather lowering) would never execute on the chip. A 1-device
+    # mesh exercises exactly that compile path.
+    try:
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(1)  # Pallas kernel under shard_map on the real chip
+        # real collective HLOs on the chip: a 1-device mesh still lowers
+        # ppermute/all_gather (self-permute) through the TPU collective path
+        import numpy as _np
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(_np.asarray(jax.devices()[:1]), ("y",))
+        x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+
+        def coll(a):
+            b = jax.lax.ppermute(a, "y", [(0, 0)])
+            g = jax.lax.all_gather(b, "y", axis=0, tiled=True)
+            return g + jax.lax.psum(a, "y")
+
+        out = jax.jit(jax.shard_map(coll, mesh=mesh, in_specs=P("y"),
+                                    out_specs=P("y")))(x)
+        assert bool(jnp.all(out == 2 * x)), "collective smoke mismatch"
+        print("tpu-shardmap-smoke: ok", file=sys.stderr, flush=True)
+    except Exception as e:  # loud, but never corrupts the JSON metric line
+        print(f"tpu-shardmap-smoke: FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
