@@ -46,21 +46,25 @@ def main(nx=1440, ny=680, substeps=30, warmup=3, steps=30):
     block = 10  # steps per jitted call (the TimeStepWizard cadence)
     sj = jax.jit(partial(multi_step, n_steps=block), donate_argnums=(1,))
 
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
+
     dt = 60.0
     s = state
     for _ in range(warmup):
         s = sj(model, s, dt)
-    jax.block_until_ready(s)
+    device_sync(s)
 
     # Best-of-3 timing windows: the axon tunnel stalls intermittently (multi-hundred-ms
     # hiccups that have nothing to do with device throughput); the fastest window is
     # the honest steady-state capability. Blocks stay pipelined within a window.
+    # Window boundaries sync by SCALAR FETCH (device_sync): block_until_ready has
+    # been observed not to wait on this backend, which would inflate the metric.
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
             s = sj(model, s, dt)
-        jax.block_until_ready(s)
+        device_sync(s)
         best = min(best, time.perf_counter() - t0)
     elapsed = best
     steps = steps * block

@@ -41,18 +41,22 @@ def main(nx=1440, ny=680, nz=10, substeps=30, warmup=3, steps=12):
     block = 10  # steps per jitted call (the TimeStepWizard cadence)
     sj = jax.jit(partial(layered_multi_step, n_steps=block), donate_argnums=(1,))
 
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
+
     dt = 40.0
     s = state
     for _ in range(warmup):
         s = sj(model, s, dt)
-    jax.block_until_ready(s)
+    device_sync(s)
 
+    # windows sync by scalar fetch: block_until_ready has been observed not to wait
+    # on this backend (see utils/profiling.device_sync), which would inflate the metric
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
             s = sj(model, s, dt)
-        jax.block_until_ready(s)
+        device_sync(s)
         best = min(best, time.perf_counter() - t0)
     elapsed = best
     n_steps = steps * block

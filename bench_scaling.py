@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 
 
 def run(ndev, nx, ny_per_dev, steps, dt, substeps):
@@ -41,11 +42,11 @@ def run(ndev, nx, ny_per_dev, steps, dt, substeps):
     fn = sharded_step_fn(mesh, dist_model)
 
     s = fn(dist_state, dt)
-    jax.block_until_ready(s)
+    device_sync(s)
     t0 = time.perf_counter()
     for _ in range(steps):
         s = fn(s, dt)
-    jax.block_until_ready(s)
+    device_sync(s)
     el = time.perf_counter() - t0
     return nx * ny * steps / el
 

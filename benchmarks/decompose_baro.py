@@ -20,6 +20,7 @@ from examples.bickley_jet import build
 from benchmarks.roofline import baro_substep_sol
 from orthogonalsphericalshellgrids_tpu.models.hydrostatic import embed_ext
 from orthogonalsphericalshellgrids_tpu.ops import pallas_baro
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 
 N_SCAN = 20
 
@@ -36,12 +37,12 @@ def scan_time(body, init, n_outer=5, warmup=2):
     out = init
     for _ in range(warmup):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     best = float("inf")
     for _ in range(n_outer):
         t0 = time.perf_counter()
         out = run(init)
-        jax.block_until_ready(out)
+        device_sync(out)
         best = min(best, time.perf_counter() - t0)
     return best / N_SCAN
 

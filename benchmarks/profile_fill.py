@@ -7,6 +7,7 @@ from examples.bickley_jet import build
 from orthogonalsphericalshellgrids_tpu.models.hydrostatic import (
     _fill, _fill_batch, step)
 from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 
 model, state = build(nx=1440, ny=680, substeps=30)
 g, ge = model.grid, model.grid_ext
@@ -22,11 +23,11 @@ def scan_time(name, body, init, n_outer=10, warmup=2):
         return out
     for _ in range(warmup):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(n_outer):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     el = (time.perf_counter() - t0) / (n_outer * N)
     print(f"{name:42s} {el*1e6:9.1f} us/iter", flush=True)
     return el

@@ -40,14 +40,16 @@ def scan_time(name, body, init, n_outer=6, warmup=2):
             return body(mdl, c), None
         out, _ = jax.lax.scan(f, x, None, length=N)
         return out
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
+
     for _ in range(warmup):
         out = run(model, init)
-    jax.block_until_ready(out)
+    device_sync(out)
     best = float("inf")
     for _ in range(n_outer):
         t0 = time.perf_counter()
         out = run(model, init)
-        jax.block_until_ready(out)
+        device_sync(out)  # scalar-fetch barrier; block_until_ready may not wait
         best = min(best, (time.perf_counter() - t0) / N)
     print(f"{name:44s} {best*1e6:9.1f} us/iter", flush=True)
     return best

@@ -26,11 +26,11 @@ def scan_time(name, body, init, n_outer=10, warmup=2):
         return out
     for _ in range(warmup):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(n_outer):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     el = (time.perf_counter() - t0) / (n_outer * N)
     print(f"{name:38s} {el*1e6:9.1f} us/iter", flush=True)
     return el
@@ -66,6 +66,7 @@ t_baro = scan_time("barotropic pallas (30 sub)", baro, (SEfix[0], SEfix[1], SEfi
 
 # barotropic substeps XLA-scan variant
 import dataclasses
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 model_x = dataclasses.replace(model, use_pallas=False)
 def baro_x(c):
     return barotropic_substeps(model_x, c[0], c[1], c[2], SEfix[3], SEfix[4], dt)

@@ -11,6 +11,7 @@ from orthogonalsphericalshellgrids_tpu.models.hydrostatic import (
 from orthogonalsphericalshellgrids_tpu.ops.pallas_baro import (
     barotropic_substeps_pallas, pad_pack)
 from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 
 model, state = build(nx=1440, ny=680, substeps=30)
 g, ge = model.grid, model.grid_ext
@@ -26,11 +27,11 @@ def scan_time(name, body, init, n_outer=10, warmup=2):
         return out
     for _ in range(warmup):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(n_outer):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     el = (time.perf_counter() - t0) / (n_outer * N)
     print(f"{name:42s} {el*1e6:9.1f} us/iter", flush=True)
     return el

@@ -43,11 +43,11 @@ def scan_time(name, body, init, n_outer=10, warmup=2):
         return out
     for _ in range(warmup):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(n_outer):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     el = (time.perf_counter() - t0) / (n_outer * N)
     print(f"{name:42s} {el*1e6:9.1f} us/iter", flush=True)
     return el
@@ -68,6 +68,7 @@ Gu1, Gv1, Gc1 = jax.jit(tx)((SB[0], SB[1], SB[2]))
 adv._weno5_left = orig
 Gu0, Gv0, Gc0 = jax.jit(tx)((SB[0], SB[1], SB[2]))
 import numpy as np
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 for n, a, b in (("Gu", Gu0, Gu1), ("Gv", Gv0, Gv1), ("Gc", Gc0, Gc1)):
     a, b = np.asarray(a), np.asarray(b)
     s = np.abs(a).max() + 1e-30

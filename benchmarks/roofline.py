@@ -60,15 +60,17 @@ def scan_time(body, init, n_outer=5, warmup=2):
         out, _ = jax.lax.scan(f, x, None, length=N_SCAN)
         return out
 
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
+
     out = init
     for _ in range(warmup):
         out = run(init)
-    jax.block_until_ready(out)
+    device_sync(out)
     best = float("inf")
     for _ in range(n_outer):
         t0 = time.perf_counter()
         out = run(init)
-        jax.block_until_ready(out)
+        device_sync(out)  # scalar-fetch barrier; block_until_ready may not wait
         best = min(best, time.perf_counter() - t0)
     return best / N_SCAN
 
@@ -161,14 +163,16 @@ def baro_substep_sol(n_iter=256, W=160, Xe=1536, dtype=jnp.float32):
 
     # Chain the output back into the input: repeated identical dispatches measure
     # only the dispatch floor on the remote-tunnel backend.
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
+
     out = run(spack, dpack)
-    jax.block_until_ready(out)
+    device_sync(out)
     best = float("inf")
     for _ in range(5):
         dpack = dpack.at[0].set(out)
         t0 = time.perf_counter()
         out = run(spack, dpack)
-        jax.block_until_ready(out)
+        device_sync(out)  # scalar-fetch barrier; block_until_ready may not wait
         best = min(best, time.perf_counter() - t0)
     return W * Xe * n_iter / best  # point-substeps / s
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 
 
 def main():
@@ -83,7 +84,7 @@ def main():
         writer = ShardedOutputWriter(args.output, {}, dist_model)
 
     s = fn(dist_state, args.dt)  # compile
-    jax.block_until_ready(s)
+    device_sync(s)
     t0 = time.time()
     for i in range(args.steps):
         s = fn(s, args.dt)
@@ -94,7 +95,7 @@ def main():
             if writer is not None:  # each shard's interior, no global gather
                 writer.write((i + 1) * args.dt, {"u": s.u, "v": s.v, "c": s.c,
                                                  "eta": s.eta})
-    jax.block_until_ready(s)
+    device_sync(s)
     el = time.time() - t0
     print(f"{args.steps} steps on {n_total} devices ({args.decomp}): {el:.2f}s "
           f"({args.nx*args.ny*args.steps/el/1e6:.1f} M gridpoint-steps/s)")
