@@ -10,6 +10,7 @@ from examples.bickley_jet import build
 from orthogonalsphericalshellgrids_tpu.models.hydrostatic import (
     multi_step, tendencies, barotropic_substeps, _fill_batch, embed_ext)
 from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 
 model, state = build(nx=1440, ny=680, substeps=30)
 g, ge = model.grid, model.grid_ext
@@ -66,7 +67,6 @@ t_baro = scan_time("barotropic pallas (30 sub)", baro, (SEfix[0], SEfix[1], SEfi
 
 # barotropic substeps XLA-scan variant
 import dataclasses
-from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 model_x = dataclasses.replace(model, use_pallas=False)
 def baro_x(c):
     return barotropic_substeps(model_x, c[0], c[1], c[2], SEfix[3], SEfix[4], dt)

@@ -7,6 +7,7 @@ from examples.bickley_jet import build
 from orthogonalsphericalshellgrids_tpu.models.hydrostatic import _fill_batch, tendencies
 from orthogonalsphericalshellgrids_tpu.ops import advection as adv
 from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC
+from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 
 _EPS = 1e-8
 
@@ -68,7 +69,6 @@ Gu1, Gv1, Gc1 = jax.jit(tx)((SB[0], SB[1], SB[2]))
 adv._weno5_left = orig
 Gu0, Gv0, Gc0 = jax.jit(tx)((SB[0], SB[1], SB[2]))
 import numpy as np
-from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
 for n, a, b in (("Gu", Gu0, Gu1), ("Gv", Gv0, Gv1), ("Gc", Gc0, Gc1)):
     a, b = np.asarray(a), np.asarray(b)
     s = np.abs(a).max() + 1e-30
