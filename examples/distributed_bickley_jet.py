@@ -17,7 +17,13 @@ from __future__ import annotations
 
 import argparse
 import time
-from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync  # fetch-sync: block_until_ready may not wait on this backend
+
+
+def device_sync(tree):
+    # fetch-sync barrier (block_until_ready may not wait on the remote backend);
+    # imported lazily because the package lands on sys.path only in __main__
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync as ds
+    return ds(tree)
 
 
 def main():
