@@ -685,6 +685,31 @@ def _fill3(model: LayeredModel, A, loc, sign, spmd=None):
     return _fill_batch(g, A, [loc] * nz, [sign] * nz, spmd)
 
 
+def _fill_interpret():
+    # interpret-mode Pallas on non-TPU backends so the "pallas" fill mode is
+    # testable on the CPU CI mesh (same convention as tests/test_pallas.py)
+    return jax.default_backend() != "tpu"
+
+
+def _fill_aliased(grid, A, loc, sign, save=False):
+    """Serial halo fill as aliased Pallas strip writes (ops/pallas_fill.py):
+    bitwise-equal to ``_fill``/``_fill3`` with ~2% of their HBM traffic. With
+    ``save=True`` also returns the pre-fill contents of the written regions so the
+    caller can reconstruct the UNFILLED array later without keeping the input
+    buffer alive (see ``layered_step``'s predictor)."""
+    from ..ops.pallas_fill import fill_halos_pallas
+
+    return fill_halos_pallas(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
+                             interpret=_fill_interpret(), save=save)
+
+
+def _unfill_aliased(grid, A, saved, loc):
+    from ..ops.pallas_fill import restore_strips_pallas
+
+    return restore_strips_pallas(A, saved, loc, grid.Nx, grid.Ny, grid.Hx,
+                                 grid.Hy, interpret=_fill_interpret())
+
+
 def _layered_stack(model: LayeredModel, state: LayeredState):
     """(planes, locs, signs) for one batched fill of every baroclinic prognostic."""
     nz = model.nz
@@ -756,7 +781,13 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
     nz = model.nz
     dt = jnp.asarray(dt, model.dtype)
     if fill_mode is None:
-        fill_mode = "batch" if spmd is not None else "per"
+        if spmd is not None:
+            fill_mode = "batch"
+        else:
+            # serial default: aliased Pallas strip writes on TPU (measured ~3 ms/step
+            # cheaper than the XLA strip-write fills at 1/4 deg x 10 layers,
+            # docs/performance.md), XLA strip writes elsewhere
+            fill_mode = "pallas" if m.use_pallas else "per"
     if overlap is None:
         from ..ops.spmd import Spmd
         from .hydrostatic import overlap_supported
@@ -781,6 +812,22 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
                           [CC, FC, CF], [1, -1, -1], spmd)
         eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
         Gu, Gv, Gc, Gb = layered_tendencies_overlapped(model, state, spmd)
+    elif fill_mode == "pallas" and spmd is None:
+        # aliased Pallas strip writes: each prognostic group's buffer is donated to
+        # a kernel that touches ONLY the halo-strip blocks in HBM. The pre-fill
+        # strip contents are saved (~2% of each array) so the predictor below can
+        # reconstruct the unfilled state bitwise without forcing XLA to keep (and
+        # defensively copy) the original buffers.
+        u, sv_u = _fill_aliased(g, state.u, FC, -1, save=True)
+        v, sv_v = _fill_aliased(g, state.v, CF, -1, save=True)
+        c, sv_c = _fill_aliased(g, state.c, CC, 1, save=True)
+        if model.has_b:
+            b, sv_b = _fill_aliased(g, state.b, CC, 1, save=True)
+        else:
+            b, sv_b = state.b, None
+        eta_f = _fill_aliased(ge, state.eta, CC, 1)
+        U_f = _fill_aliased(ge, state.U, FC, -1)
+        V_f = _fill_aliased(ge, state.V, CF, -1)
     elif fill_mode == "per" and spmd is None:
         # per-group broadcast fills: no concat, strip writes only
         u = _fill3(model, state.u, FC, -1)
@@ -807,6 +854,18 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
     if not overlap:
         Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b, t=state.t)
 
+    if fill_mode == "pallas" and spmd is None and not overlap:
+        # Reconstruct the UNFILLED prognostics for the predictor below (bitwise ==
+        # state.u etc.): the filled buffers are dead once the tendency pass has
+        # consumed them, so the restore writes strips into them in place — the
+        # original state buffers were donated to the fill and never copied.
+        u0 = _unfill_aliased(g, u, sv_u, FC)
+        v0 = _unfill_aliased(g, v, sv_v, CF)
+        c0 = _unfill_aliased(g, c, sv_c, CC)
+        b0 = _unfill_aliased(g, b, sv_b, CC) if model.has_b else state.b
+    else:
+        u0, v0, c0, b0 = state.u, state.v, state.c, state.b
+
     first = state.iteration == 0
     w1 = jnp.where(first, 1.0, 1.5 + _CHI).astype(model.dtype)
     w2 = jnp.where(first, 0.0, 0.5 + _CHI).astype(model.dtype)
@@ -820,7 +879,10 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
     GVb = jnp.sum(Gv_s * model.dzv, axis=0)
     GU0 = embed_ext(g, ge, GUb)
     GV0 = embed_ext(g, ge, GVb)
-    if fill_mode == "per" and spmd is None:
+    if fill_mode == "pallas" and spmd is None:
+        GU_f = _fill_aliased(ge, GU0, FC, -1)
+        GV_f = _fill_aliased(ge, GV0, CF, -1)
+    elif fill_mode == "per" and spmd is None:
         GU_f = _fill(ge, GU0, FC, -1)
         GV_f = _fill(ge, GV0, CF, -1)
     else:
@@ -833,8 +895,10 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
         wrap_x_each_substep=ge.Hx < n_sub + 1)
 
     # split-explicit corrector: predictor layers, then replace the depth mean
-    u_star = (state.u + dt * Gu_s) * model.mask_u3
-    v_star = (state.v + dt * Gv_s) * model.mask_v3
+    # (u0/v0/c0/b0 are the unfilled prognostics: state.* directly, or their
+    # strip-restored bitwise reconstruction on the aliased-Pallas fill path)
+    u_star = (u0 + dt * Gu_s) * model.mask_u3
+    v_star = (v0 + dt * Gv_s) * model.mask_v3
     if model.vert_impl and model.nu_v > 0.0:
         # backward-Euler vertical viscosity on the predictor; Σ dz·u is conserved by
         # the solve, so the depth-mean replacement below is unaffected
@@ -848,8 +912,8 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
     u_new = (u_star + (Ubar - ubar)[None]) * model.mask_u3
     v_new = (v_star + (Vbar - vbar)[None]) * model.mask_v3
 
-    c_new = _mask_tracers(model, state.c + dt * Gc_s)
-    b_new = (state.b + dt * Gb_s) * model.mask_c3 if model.has_b else state.b
+    c_new = _mask_tracers(model, c0 + dt * Gc_s)
+    b_new = (b0 + dt * Gb_s) * model.mask_c3 if model.has_b else state.b
     if model.vert_impl and model.kappa_v > 0.0:
         r = dt * model.kappa_v
         c_new = _as_tracer_stack(model, _implicit_vertical_solve(

@@ -38,8 +38,8 @@ import numpy as np
 
 from .location import CENTER, FACE, validate_location
 
-__all__ = ["ZipperBoundaryCondition", "fold_north", "wrap_x", "fill_south",
-           "fill_halos", "fill_halos_batch"]
+__all__ = ["ZipperBoundaryCondition", "fold_north", "fold_strip", "wrap_x",
+           "fill_south", "fill_halos", "fill_halos_batch"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,14 +95,15 @@ def _mirror_x_interior(I, lx, sign, Nx, xp):
     return M, sign_row
 
 
-def fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=np, inplace=False):
-    """Apply the zipper fold: rewrite the north halo rows (and, for center-y fields,
-    the redundant half of the last interior row) of halo-inclusive ``A``.
+def fold_strip(A, loc, sign, Nx, Ny, Hx, Hy, xp=np):
+    """Compute the full-width rows the zipper fold writes, without writing them.
 
-    The x-halo columns of the rewritten rows are also refreshed with the periodic wrap
-    so the result is self-consistent (matching the reference's fill order where the
-    east/west periodic fill runs after the north fold — pinned by
-    ``test/test_zipper_boundary_conditions.jl:39-45``).
+    Returns ``(full, y0)``: ``full`` has shape ``(..., rf, Nx + 2*Hx)`` where
+    ``rf = Hy + 1`` for center-y locations (row Ny + halo rows) and ``rf = Hy`` for
+    face-y (halo rows only), and ``y0`` is the first written row. The strip is
+    already periodically x-wrapped. Shared by the strip-write path (``fold_north``)
+    and the aliased Pallas fill (``ops/pallas_fill.py``), so both are bitwise equal
+    by construction.
     """
     lx, ly = validate_location(loc)
     # Reads only the top Hy+1 interior rows.
@@ -128,6 +129,19 @@ def fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=np, inplace=False):
 
     # periodic x-wrap of the strip, written in one shot across the full width
     full = xp.concatenate([strip[..., Nx - Hx :], strip, strip[..., :Hx]], axis=-1)
+    return full, y0
+
+
+def fold_north(A, loc, sign, Nx, Ny, Hx, Hy, xp=np, inplace=False):
+    """Apply the zipper fold: rewrite the north halo rows (and, for center-y fields,
+    the redundant half of the last interior row) of halo-inclusive ``A``.
+
+    The x-halo columns of the rewritten rows are also refreshed with the periodic wrap
+    so the result is self-consistent (matching the reference's fill order where the
+    east/west periodic fill runs after the north fold — pinned by
+    ``test/test_zipper_boundary_conditions.jl:39-45``).
+    """
+    full, y0 = fold_strip(A, loc, sign, Nx, Ny, Hx, Hy, xp=xp)
     return _set(A, slice(y0, Hy + Ny + Hy), slice(None), full, xp, inplace)
 
 

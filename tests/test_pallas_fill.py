@@ -1,0 +1,112 @@
+"""Aliased Pallas halo-fill parity (interpret mode on CPU).
+
+The strip-write fill (ops/pallas_fill.py) must be BITWISE equal to the XLA fill
+(ops/zipper.fill_halos) — it shares the fold-strip computation with it by
+construction (zipper.fold_strip) and only changes how the strips are written.
+The save/restore pair must reconstruct the pre-fill array bitwise, since
+models/layered.layered_step relies on it to rebuild the unfilled prognostics for
+the predictor without keeping the original buffers alive.
+
+Geometry edge cases pinned here: lane-block straddles (east halo crossing a
+128-lane block boundary, Xb < 128 single-block), Hy >= Ny (the fold's top window
+reaching into the freshly south-filled rows — the XLA fill's ordering), and both
+row parities of the fold (center-y duplicated row + redundant-half rewrite vs
+face-y no-duplicate).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orthogonalsphericalshellgrids_tpu.ops import zipper
+from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC, FF
+from orthogonalsphericalshellgrids_tpu.ops.pallas_fill import (
+    extract_strips, fill_halos_pallas, restore_strips_pallas)
+
+GEOMETRIES = [
+    (12, 9, 4, 4),      # tiny, Xb < 128 (single lane block)
+    (52, 30, 5, 5),     # odd Nx parity for the fold
+    (260, 21, 4, 4),    # multiple lane blocks, east halo inside the last
+    (250, 16, 22, 22),  # extended halos, Hy > Ny, east halo straddling blocks
+]
+
+
+def _rand(shape, dtype, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), dtype)
+
+
+@pytest.mark.parametrize("geom", GEOMETRIES)
+@pytest.mark.parametrize("loc,sign", [(CC, 1), (FC, -1), (CF, -1), (FF, 1)])
+def test_fill_matches_xla_bitwise(geom, loc, sign):
+    Nx, Ny, Hx, Hy = geom
+    A = _rand((Ny + 2 * Hy, Nx + 2 * Hx), jnp.float64)
+    want = zipper.fill_halos(A, loc, sign, Nx, Ny, Hx, Hy, xp=jnp)
+    got = jax.jit(lambda a: fill_halos_pallas(
+        a, loc, sign, Nx, Ny, Hx, Hy, interpret=True))(A)
+    assert np.array_equal(np.array(want), np.array(got))
+
+
+@pytest.mark.parametrize("lead", [(), (3,), (2, 2)])
+def test_leading_dims_broadcast(lead):
+    Nx, Ny, Hx, Hy = 52, 30, 5, 5
+    A = _rand(lead + (Ny + 2 * Hy, Nx + 2 * Hx), jnp.float32, seed=1)
+    want = zipper.fill_halos(A, FC, -1, Nx, Ny, Hx, Hy, xp=jnp)
+    got = jax.jit(lambda a: fill_halos_pallas(
+        a, FC, -1, Nx, Ny, Hx, Hy, interpret=True))(A)
+    assert got.shape == A.shape
+    assert np.array_equal(np.array(want), np.array(got))
+
+
+@pytest.mark.parametrize("geom", GEOMETRIES)
+@pytest.mark.parametrize("loc", [CC, CF])
+def test_save_restore_round_trip(geom, loc):
+    Nx, Ny, Hx, Hy = geom
+    A = _rand((3, Ny + 2 * Hy, Nx + 2 * Hx), jnp.float64, seed=2)
+    filled, saved = jax.jit(lambda a: fill_halos_pallas(
+        a, loc, 1, Nx, Ny, Hx, Hy, interpret=True, save=True))(A)
+    back = jax.jit(lambda f, s: restore_strips_pallas(
+        f, s, loc, Nx, Ny, Hx, Hy, interpret=True))(filled, saved)
+    assert np.array_equal(np.array(back), np.array(A))
+
+
+def test_saved_strips_are_prefill_regions():
+    Nx, Ny, Hx, Hy = 52, 30, 5, 5
+    A = _rand((2, Ny + 2 * Hy, Nx + 2 * Hx), jnp.float32, seed=3)
+    _, saved = fill_halos_pallas(A, CC, 1, Nx, Ny, Hx, Hy, interpret=True,
+                                 save=True)
+    want = extract_strips(A, CC, Nx, Ny, Hx, Hy)
+    for s, w in zip(saved, want):
+        assert np.array_equal(np.array(s), np.array(w))
+
+
+def test_south_none_mode():
+    Nx, Ny, Hx, Hy = 52, 30, 5, 5
+    A = _rand((Ny + 2 * Hy, Nx + 2 * Hx), jnp.float64, seed=4)
+    want = zipper.fill_halos(A, CC, 1, Nx, Ny, Hx, Hy, south="none", xp=jnp)
+    got = jax.jit(lambda a: fill_halos_pallas(
+        a, CC, 1, Nx, Ny, Hx, Hy, south="none", interpret=True))(A)
+    assert np.array_equal(np.array(want), np.array(got))
+
+
+def test_layered_step_pallas_fill_bitwise():
+    """Full layered step: fill_mode='pallas' (aliased fills + strip-restored
+    predictor) is bitwise-equal to fill_mode='per' across steps, including the
+    AB2 tendency history and the halo contents of the stored state."""
+    from test_layered import layered_bickley
+    from orthogonalsphericalshellgrids_tpu.models.layered import layered_step
+
+    model, state = layered_bickley(3)
+
+    @partial(jax.jit, static_argnums=1)
+    def run(s, mode):
+        for _ in range(3):
+            s = layered_step(model, s, 60.0, fill_mode=mode)
+        return s
+
+    a = run(state, "per")
+    b = run(state, "pallas")
+    for f in ("u", "v", "eta", "U", "V", "c", "b", "Gu", "Gv", "Gc", "Gb"):
+        assert np.array_equal(np.array(getattr(a, f)), np.array(getattr(b, f))), f
