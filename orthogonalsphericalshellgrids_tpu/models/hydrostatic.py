@@ -112,6 +112,8 @@ class HydrostaticModel:
     g: float
     coriolis: bool
     use_pallas: bool
+    block_rows: int     # resolved barotropic-kernel row-block size (baro_pack is
+                        # padded to it; the kernel call must use the same value)
     tracer_advection: str
     momentum_advection: str
     tracer_names: tuple      # ("c",) -> State.c is (Ye, Xe); else (n, Ye, Xe) stacked
@@ -138,6 +140,7 @@ _MODEL_ARRAYS = [
     "taux", "tauy",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
+               "block_rows",
                "tracer_advection", "momentum_advection", "tracer_names", "forcing",
                "wind", "drag_type", "drag_coeff", "nu_h", "kappa_h", "nu4_h",
                "kappa4_h"]
@@ -235,6 +238,9 @@ def make_model(
     kappa_h: float = 0.0,   # horizontal tracer diffusivity [m²/s]
     nu4_h: float = 0.0,     # horizontal biharmonic viscosity [m⁴/s]
     kappa4_h: float = 0.0,  # horizontal biharmonic tracer diffusivity [m⁴/s]
+    block_rows: int | None = None,  # barotropic Pallas kernel row-block override
+                            # (default: ops/pallas_baro.auto_block_rows minimizes
+                            # total processed rows under the VMEM budget)
 ) -> HydrostaticModel:
     """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
     rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
@@ -314,6 +320,14 @@ def make_model(
     # round-trip each; this collapses ~10 compiles into one).
     g_accel = float(free_surface.gravitational_acceleration)
 
+    # Resolve the barotropic row-block once, from static shapes, so baro_pack's
+    # padding and the runtime kernel call agree (the model carries the value).
+    from ..ops.pallas_baro import auto_block_rows, pad_pack
+
+    block_rows = auto_block_rows(
+        grid_ext.dx_fc.shape[0], grid_ext.dx_fc.shape[1],
+        int(free_surface.weights.shape[0]), jnp.dtype(dt).itemsize, block_rows)
+
     @jax.jit
     def _derived(g_dx_fc, g_dy_cf, g_az_ff, g_az_cc, h_c, mask_c,
                  ge_dx_fc, ge_dy_cf, ge_az_cc, phi_ff,
@@ -327,18 +341,12 @@ def make_model(
         inv_az_cc_e = _inv(ge_az_cc)
         # stacked operands for the Pallas barotropic kernel (ops/pallas_baro.py),
         # pre-padded to the kernel's row/lane alignment so the hot path never copies
-        # the static planes; the block size must match what the kernel auto-selects
-        # for this geometry (VMEM-budgeted, ops/pallas_baro.auto_block_rows)
-        from ..ops.pallas_baro import auto_block_rows, pad_pack
-
-        block = auto_block_rows(ge_dx_fc.shape[0], ge_dx_fc.shape[1],
-                                int(free_surface.weights.shape[0]),
-                                jnp.dtype(dt).itemsize)
+        # the static planes; padded to the resolved block_rows carried by the model
         baro_pack = pad_pack(jnp.stack([
             ge_dy_fc, ge_dx_cf, inv_az_cc_e,
             g_accel * h_u_e * inv_dx_fc_e,   # pressure-gradient factor / dtau; h_u is
             g_accel * h_v_e * inv_dy_cf_e,   # exactly 0 on land, so no mask plane
-        ]), block)
+        ]), block_rows)
         inv_dx_fc = _inv(g_dx_fc)
         inv_dy_cf = _inv(g_dy_cf)
         inv_az_ff = _inv(g_az_ff)
@@ -405,6 +413,7 @@ def make_model(
         g=float(free_surface.gravitational_acceleration),
         coriolis=coriolis,
         use_pallas=bool(use_pallas),
+        block_rows=int(block_rows),
         tracer_advection=tracer_advection,
         momentum_advection=momentum_advection,
         tracer_names=tracers,
@@ -773,7 +782,8 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=No
         dtau = model.fractional_dt * dt
         return barotropic_substeps_pallas(
             model.baro_pack, eta, U, V, GU, GV, dtau, model.weights,
-            ge.Nx, ge.Hx, dpack=dpack, wrap_x_each_substep=wrap_x_each_substep,
+            ge.Nx, ge.Hx, block_rows=model.block_rows, dpack=dpack,
+            wrap_x_each_substep=wrap_x_each_substep,
         )
     dtau = model.fractional_dt * dt
     gH_u = model.g * model.h_u_e

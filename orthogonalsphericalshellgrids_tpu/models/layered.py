@@ -788,6 +788,12 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
             # cheaper than the XLA strip-write fills at 1/4 deg x 10 layers,
             # docs/performance.md), XLA strip writes elsewhere
             fill_mode = "pallas" if m.use_pallas else "per"
+    if fill_mode not in ("pallas", "per", "batch"):
+        raise ValueError(f"unknown fill_mode {fill_mode!r}; options: pallas|per|batch")
+    if fill_mode in ("pallas", "per") and spmd is not None:
+        raise ValueError(
+            f"fill_mode={fill_mode!r} is a serial-only path; sharded (spmd) runs "
+            "use the batched-exchange fill (fill_mode='batch' or None)")
     if overlap is None:
         from ..ops.spmd import Spmd
         from .hydrostatic import overlap_supported

@@ -141,13 +141,22 @@ def _row_pass(A3, south_full, fold_full, y0, interpret):
 # column pass
 # --------------------------------------------------------------------------------------
 
-def _col_kernel(vis_ref, a_blk, patch_blk, out_blk, *, BW, Hx, east_lo, ylo, y0):
+def _col_kernel(vis_ref, a_blk, patch_blk, out_blk, *, BW, Hx, east_lo, ylo, y0,
+                start_al):
+    # The patch buffer carries ONLY the consumed row range: patch row p maps to
+    # array row start_al + p (start_al = ylo aligned down to the sublane multiple,
+    # so the static subregion slice below starts sublane-aligned).
     j = pl.program_id(1)
-    lanes = vis_ref[j] * BW + jax.lax.broadcasted_iota(jnp.int32, (1, 1, BW), 2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, a_blk.shape[1], 1), 1)
+    lanes = vis_ref[j] * BW + jax.lax.broadcasted_iota(jnp.int32, (1, BW), 1)
     halo_lane = (lanes < Hx) | (lanes >= east_lo)
+    out_blk[...] = a_blk[...]
+    Yb = a_blk.shape[1]
+    end = min(start_al + patch_blk.shape[2], Yb)
+    h = end - start_al
+    rows = start_al + jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
     mid = (rows >= ylo) & (rows < y0)
-    out_blk[...] = jnp.where(mid & halo_lane, patch_blk[0], a_blk[...])
+    out_blk[0, start_al:end, :] = jnp.where(
+        mid & halo_lane, patch_blk[0, 0, :h, :], a_blk[0, start_al:end, :])
 
 
 def _col_pass(A3, west, east, ylo, y0, Nx, Hx, interpret):
@@ -159,31 +168,38 @@ def _col_pass(A3, west, east, ylo, y0, Nx, Hx, interpret):
     BW = min(_LANE, Xb)
     ncb = math.ceil(Xb / BW)
     east_lo = Xb - Hx
-    vis = sorted({0} | set(range(east_lo // BW, ncb)))
+    vis = sorted(set(range(0, math.ceil(Hx / BW))) | set(range(east_lo // BW, ncb)))
 
-    # per visited lane-block patch holding the halo-column values at block lanes
+    # per visited lane-block patch holding the halo-column values at block lanes,
+    # covering only the consumed rows (padded to the sublane multiple) — a
+    # full-height patch would re-pay ~n_vis*BW/Xb of a whole-array HBM pass
+    By = _sublane(A3.dtype)
+    start_al = (ylo // By) * By
+    off = ylo - start_al
+    Ph = -By * (-(off + (y0 - ylo)) // By)
     patches = []
     for cb in vis:
         lo, hi = cb * BW, min((cb + 1) * BW, Xb)
-        patch = jnp.zeros((K, Yb, BW), A3.dtype)
+        patch = jnp.zeros((K, Ph, BW), A3.dtype)
         if lo < Hx:  # west halo lanes in this block
             b = min(hi, Hx)
-            patch = patch.at[:, ylo:y0, lo - lo:b - lo].set(west[..., lo:b])
+            patch = patch.at[:, off:off + (y0 - ylo), lo - lo:b - lo].set(
+                west[..., lo:b])
         if hi > east_lo:  # east halo lanes in this block
             a = max(lo, east_lo)
-            patch = patch.at[:, ylo:y0, a - lo:hi - lo].set(
+            patch = patch.at[:, off:off + (y0 - ylo), a - lo:hi - lo].set(
                 east[..., a - east_lo:hi - east_lo])
         patches.append(patch)
-    P = jnp.stack(patches)  # (n_vis, K, Yb, BW)
+    P = jnp.stack(patches)  # (n_vis, K, Ph, BW)
 
     kern = functools.partial(_col_kernel, BW=BW, Hx=Hx, east_lo=east_lo,
-                             ylo=ylo, y0=y0)
+                             ylo=ylo, y0=y0, start_al=start_al)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K, len(vis)),
         in_specs=[
             pl.BlockSpec((1, Yb, BW), lambda k, j, v: (k, 0, v[j])),
-            pl.BlockSpec((1, 1, Yb, BW), lambda k, j, v: (j, k, 0, 0)),
+            pl.BlockSpec((1, 1, Ph, BW), lambda k, j, v: (j, k, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Yb, BW), lambda k, j, v: (k, 0, v[j])),
     )
@@ -203,8 +219,12 @@ def _geometry(A, loc, south, Nx, Ny, Hx, Hy):
     from .location import CENTER, validate_location
 
     _, ly = validate_location(loc)
+    if Hy == 0:
+        # match zipper.fill_halos: no fold, no south fill — wrap_x of ALL rows
+        # (the fold strip below is empty: y0 = Yb)
+        return A.shape[-2], 0, False
     y0 = Hy + Ny - 1 if ly == CENTER else Hy + Ny
-    has_south = south == "zero_gradient" and Hy > 0
+    has_south = south == "zero_gradient"
     ylo = Hy if has_south else 0
     return y0, ylo, has_south
 
@@ -241,8 +261,11 @@ def fill_halos_pallas(A, loc, sign, Nx, Ny, Hx, Hy, south="zero_gradient",
         A_fold = jnp.where(rows < Hy, A3[:, Hy:Hy + 1, :], A3)
     else:
         A_fold = A3
-    fold_full, y0_f = zipper.fold_strip(A_fold, loc, sign, Nx, Ny, Hx, Hy, xp=jnp)
-    assert y0_f == y0
+    if Hy == 0:  # no fold (zipper.fill_halos skips it too); empty strip
+        fold_full = A3[:, Yb:, :]
+    else:
+        fold_full, y0_f = zipper.fold_strip(A_fold, loc, sign, Nx, Ny, Hx, Hy, xp=jnp)
+        assert y0_f == y0
     if has_south:
         rowHy = A3[:, Hy, Hx:Hx + Nx]
         row_w = jnp.concatenate([rowHy[..., Nx - Hx:], rowHy, rowHy[..., :Hx]],
@@ -272,8 +295,14 @@ def restore_strips_pallas(A, saved, loc, Nx, Ny, Hx, Hy, south="zero_gradient",
     (donated) ``A``, reconstructing the pre-fill array bitwise at strip cost."""
     shape = A.shape
     A3 = _flat(A)
-    y0, ylo, _ = _geometry(A3, loc, south, Nx, Ny, Hx, Hy)
+    y0, ylo, has_south = _geometry(A3, loc, south, Nx, Ny, Hx, Hy)
     south_s, fold_s, west_s, east_s = saved
+    if (south_s is not None) != has_south:
+        raise ValueError(
+            f"restore_strips_pallas south={south!r} does not match the mode the "
+            f"strips were saved with (saved south strip "
+            f"{'present' if south_s is not None else 'absent'}) — pass the same "
+            f"`south` as the fill_halos_pallas(..., save=True) call")
     out = _row_pass(A3, south_s, fold_s, y0, interpret)
     out = _col_pass(out, west_s, east_s, ylo, y0, Nx, Hx, interpret)
     return out.reshape(shape)

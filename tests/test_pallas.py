@@ -86,3 +86,41 @@ def test_barotropic_pallas_acc_window_mode():
         np.testing.assert_allclose(np.asarray(ge.interior(x)),
                                    np.asarray(ge.interior(y)),
                                    rtol=1e-6, atol=1e-12, err_msg=name)
+
+
+def test_auto_block_rows_minimizes_processed_rows():
+    """Round-3 regression pin: at the 1/4-degree geometry (Ye=724, Xe=1450,
+    n_sub=21) the chooser must pick B=152 (5 programs x 200-row windows = 1000
+    processed rows), not the max-B-under-budget pick B=144 (6 x 192 = 1152 rows,
+    measured ~8% slower end-to-end)."""
+    from orthogonalsphericalshellgrids_tpu.ops.pallas_baro import (
+        _VMEM_BUDGET_BYTES, _geometry, auto_block_rows)
+
+    Ye, Xe, n_sub = 724, 1450, 21
+    B = auto_block_rows(Ye, Xe, n_sub)
+    assert B == 152, B
+    # the chosen block is optimal: no admissible B processes fewer total rows
+    Xe_pad = -128 * (-Xe // 128)
+    _, W, n_prog, _ = _geometry(Ye, n_sub, B)
+    best_rows = n_prog * W
+    for Bc in range(8, 736, 8):
+        Bk, Wc, npc, _ = _geometry(Ye, n_sub, Bc)
+        if (10 * Wc + 3 * Bk) * Xe_pad * 4 <= _VMEM_BUDGET_BYTES:
+            assert npc * Wc >= best_rows, (Bc, npc * Wc, best_rows)
+    # explicit override wins
+    assert auto_block_rows(Ye, Xe, n_sub, block_rows=104) == 104
+    # small grid collapses to the single-window case
+    Bs = auto_block_rows(40, 60, 6)
+    assert Bs == 40
+    # the model plumbs the override through to the pack padding and carries it
+    import orthogonalsphericalshellgrids_tpu as osg
+    from orthogonalsphericalshellgrids_tpu.models import (
+        SplitExplicitFreeSurface, make_model)
+
+    grid = osg.TripolarGrid.make((48, 40, 1), dtype=jnp.float32,
+                                 first_pole_longitude=45.0,
+                                 north_poles_latitude=35.0)
+    m = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=12),
+                   use_pallas=False, block_rows=16)
+    assert m.block_rows == 16
+    assert m.baro_pack.shape[1] % 16 == 0

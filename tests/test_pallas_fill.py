@@ -110,3 +110,60 @@ def test_layered_step_pallas_fill_bitwise():
     b = run(state, "pallas")
     for f in ("u", "v", "eta", "U", "V", "c", "b", "Gu", "Gv", "Gc", "Gb"):
         assert np.array_equal(np.array(getattr(a, f)), np.array(getattr(b, f))), f
+
+
+def test_hy_zero_matches_xla():
+    """Hy==0: zipper.fill_halos skips the fold and south fill (wrap_x only, all
+    rows); the Pallas fill must match — round-4 advisor fix."""
+    Nx, Ny, Hx, Hy = 52, 30, 5, 0
+    for loc, sign in [(CC, 1), (FC, -1), (CF, -1)]:
+        A = _rand((Ny, Nx + 2 * Hx), jnp.float32, seed=3)
+        want = zipper.fill_halos(A, loc, sign, Nx, Ny, Hx, Hy, xp=jnp)
+        got = fill_halos_pallas(A, loc, sign, Nx, Ny, Hx, Hy, interpret=True)
+        assert np.array_equal(np.array(want), np.array(got))
+
+
+def test_wide_x_halo_multi_lane_block():
+    """Hx > 128 (west halo spanning >1 lane block): previously only lane-block 0
+    was visited, silently leaving lanes >= 128 unfilled — round-4 advisor fix."""
+    Nx, Ny, Hx, Hy = 300, 24, 130, 4
+    A = _rand((Ny + 2 * Hy, Nx + 2 * Hx), jnp.float32, seed=4)
+    want = zipper.fill_halos(A, CC, 1, Nx, Ny, Hx, Hy, xp=jnp)
+    got = fill_halos_pallas(A, CC, 1, Nx, Ny, Hx, Hy, interpret=True)
+    assert np.array_equal(np.array(want), np.array(got))
+
+
+def test_restore_south_mode_mismatch_raises():
+    Nx, Ny, Hx, Hy = 52, 30, 5, 5
+    A = _rand((Ny + 2 * Hy, Nx + 2 * Hx), jnp.float32, seed=5)
+    filled, saved = fill_halos_pallas(A, CC, 1, Nx, Ny, Hx, Hy,
+                                      south="none", save=True, interpret=True)
+    with pytest.raises(ValueError, match="south"):
+        restore_strips_pallas(filled, saved, CC, Nx, Ny, Hx, Hy,
+                              south="zero_gradient", interpret=True)
+    back = restore_strips_pallas(filled, saved, CC, Nx, Ny, Hx, Hy,
+                                 south="none", interpret=True)
+    assert np.array_equal(np.array(back), np.array(A))
+
+
+def test_layered_fill_mode_validation():
+    """Unknown fill_mode (or a serial-only mode with spmd) must raise up front
+    instead of silently falling through to the batched path — round-4 advisor fix."""
+    import orthogonalsphericalshellgrids_tpu as osg
+    from orthogonalsphericalshellgrids_tpu.models import SplitExplicitFreeSurface
+    from orthogonalsphericalshellgrids_tpu.models.layered import (
+        layered_initial_state, layered_step, make_layered_model)
+    from orthogonalsphericalshellgrids_tpu.ops.spmd import Spmd
+
+    grid = osg.TripolarGrid.make((24, 20, 2), dtype=jnp.float32,
+                                 first_pole_longitude=45.0,
+                                 north_poles_latitude=35.0)
+    model = make_layered_model(grid,
+                               free_surface=SplitExplicitFreeSurface(substeps=8),
+                               use_pallas=False)
+    state = layered_initial_state(model)
+    with pytest.raises(ValueError, match="fill_mode"):
+        layered_step(model, state, 60.0, fill_mode="palas")
+    with pytest.raises(ValueError, match="serial-only"):
+        layered_step(model, state, 60.0, fill_mode="pallas",
+                     spmd=Spmd(n_shards=2))
