@@ -28,7 +28,12 @@ import time
 MEASURED_CPU_HOST_POINTS_PER_S = 7.46e6  # 2026-08-20, 2-vCPU host, 1440x680x10
 
 
-def main(nx=1440, ny=680, nz=10, substeps=30, warmup=3, steps=12):
+def run(nx=1440, ny=680, nz=10, substeps=30, warmup=3, steps=12, probe=True):
+    """Run the layered benchmark; returns the metric dict (see module docstring).
+
+    With ``probe=True`` each timing window is followed by an HBM stream
+    micro-probe so a throttled tunnel window is identifiable after the fact
+    (``stream_probe_gbps`` per window, reported alongside the value)."""
     import jax
 
     sys.path.insert(0, ".")
@@ -41,7 +46,8 @@ def main(nx=1440, ny=680, nz=10, substeps=30, warmup=3, steps=12):
     block = 10  # steps per jitted call (the TimeStepWizard cadence)
     sj = jax.jit(partial(layered_multi_step, n_steps=block), donate_argnums=(1,))
 
-    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import (
+        device_sync, stream_probe_gbps)
 
     dt = 40.0
     s = state
@@ -49,30 +55,48 @@ def main(nx=1440, ny=680, nz=10, substeps=30, warmup=3, steps=12):
         s = sj(model, s, dt)
     device_sync(s)
 
-    # windows sync by scalar fetch: block_until_ready has been observed not to wait
-    # on this backend (see utils/profiling.device_sync), which would inflate the metric
-    best = float("inf")
-    for _ in range(3):
+    # DIFFERENTIAL best-of-3 timing (same protocol/rationale as bench.py): the
+    # scalar-fetch window barrier costs a variable constant (1-64 ms measured);
+    # per-step time = (min t_long - min t_short) / extra steps cancels it.
+    short = max(steps // 3, 1)
+
+    def window(k, s):
         t0 = time.perf_counter()
-        for _ in range(steps):
+        for _ in range(k):
             s = sj(model, s, dt)
         device_sync(s)
-        best = min(best, time.perf_counter() - t0)
-    elapsed = best
-    n_steps = steps * block
+        return time.perf_counter() - t0, s
+
+    t_short, t_long, probes = [], [], []
+    for _ in range(3):
+        a, s = window(short, s)
+        b, s = window(steps, s)
+        t_short.append(a)
+        t_long.append(b)
+        if probe:
+            probes.append(round(stream_probe_gbps(), 1))
+    elapsed = min(t_long) - min(t_short)
+    n_steps = (steps - short) * block
 
     import jax.numpy as jnp
 
     assert bool(jnp.all(jnp.isfinite(s.u))), "benchmark produced non-finite fields"
 
     points_per_s = nx * ny * nz * n_steps / elapsed
-    print(json.dumps({
+    out = {
         "metric": (f"grid-points/s/chip (T/S gyre, 1/4deg x {nz} layers, linear EOS, "
                    f"WENO-5 + split-explicit substeps={substeps})"),
         "value": round(points_per_s, 1),
         "unit": "grid-points/s/chip",
         "vs_baseline": round(points_per_s / MEASURED_CPU_HOST_POINTS_PER_S, 3),
-    }))
+    }
+    if probe:
+        out["stream_probe_gbps"] = probes
+    return out
+
+
+def main(**kw):
+    print(json.dumps(run(**kw)), flush=True)
 
 
 if __name__ == "__main__":

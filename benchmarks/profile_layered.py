@@ -31,28 +31,42 @@ dt = 40.0
 N = 10
 
 
-def scan_time(name, body, init, n_outer=6, warmup=2):
+def scan_time(name, body, init, n_outer=3, warmup=2):
     # model passed as an argument (NOT closure-captured): captured arrays embed as
-    # HLO constants and the remote-compile tunnel rejects >~100 MB request bodies
-    @jax.jit
-    def run(mdl, x):
-        def f(c, _):
-            return body(mdl, c), None
-        out, _ = jax.lax.scan(f, x, None, length=N)
-        return out
+    # HLO constants and the remote-compile tunnel rejects >~100 MB request bodies.
+    # Differential timing between two scan lengths (see
+    # utils/profiling.scan_time_diff): cancels the tunnel's variable constant
+    # sync tax (1-64 ms/window measured) that absolute windows absorb.
+    import time
+
     from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
 
+    runs = []
+    for L in (N, 3 * N):
+        def make(L):
+            @jax.jit
+            def run(mdl, x):
+                def f(c, _):
+                    return body(mdl, c), None
+                out, _ = jax.lax.scan(f, x, None, length=L)
+                return out
+            return run
+        runs.append(make(L))
+
+    out = init
     for _ in range(warmup):
-        out = run(model, init)
+        out = runs[1](model, runs[0](model, out))
     device_sync(out)
-    best = float("inf")
+    best = [float("inf"), float("inf")]
     for _ in range(n_outer):
-        t0 = time.perf_counter()
-        out = run(model, init)
-        device_sync(out)  # scalar-fetch barrier; block_until_ready may not wait
-        best = min(best, (time.perf_counter() - t0) / N)
-    print(f"{name:44s} {best*1e6:9.1f} us/iter", flush=True)
-    return best
+        for i, run in enumerate(runs):
+            t0 = time.perf_counter()
+            out = run(model, out)
+            device_sync(out)  # scalar-fetch barrier; block_until_ready may not wait
+            best[i] = min(best[i], time.perf_counter() - t0)
+    el = (best[1] - best[0]) / (2 * N)
+    print(f"{name:44s} {el*1e6:9.1f} us/iter", flush=True)
+    return el
 
 
 nz = model.nz

@@ -18,21 +18,13 @@ g, ge = model.grid, model.grid_ext
 dt = 60.0
 N = 20
 
-def scan_time(name, body, init, n_outer=10, warmup=2):
-    @jax.jit
-    def run(x):
-        def f(c, _):
-            return body(c), None
-        out, _ = jax.lax.scan(f, x, None, length=N)
-        return out
-    for _ in range(warmup):
-        out = run(init)
-    device_sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n_outer):
-        out = run(init)
-    device_sync(out)
-    el = (time.perf_counter() - t0) / (n_outer * N)
+def scan_time(name, body, init, n_outer=3, warmup=2):
+    # differential timing (utils/profiling.scan_time_diff): cancels the tunnel's
+    # variable constant sync tax — see device_sync
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import scan_time_diff
+
+    el = scan_time_diff(body, init, lengths=(N, 3 * N), n_outer=n_outer,
+                        warmup=warmup)
     print(f"{name:42s} {el*1e6:9.1f} us/iter", flush=True)
     return el
 

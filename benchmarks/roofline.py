@@ -51,28 +51,13 @@ from orthogonalsphericalshellgrids_tpu.ops.pallas_baro import _geometry, DEFAULT
 N_SCAN = 20
 
 
-def scan_time(body, init, n_outer=5, warmup=2):
-    @jax.jit
-    def run(x):
-        def f(c, _):
-            return body(c), None
+def scan_time(body, init, n_outer=3, warmup=2):
+    # differential timing (utils/profiling.scan_time_diff): cancels the tunnel's
+    # variable constant sync tax — see device_sync
+    from orthogonalsphericalshellgrids_tpu.utils.profiling import scan_time_diff
 
-        out, _ = jax.lax.scan(f, x, None, length=N_SCAN)
-        return out
-
-    from orthogonalsphericalshellgrids_tpu.utils.profiling import device_sync
-
-    out = init
-    for _ in range(warmup):
-        out = run(init)
-    device_sync(out)
-    best = float("inf")
-    for _ in range(n_outer):
-        t0 = time.perf_counter()
-        out = run(init)
-        device_sync(out)  # scalar-fetch barrier; block_until_ready may not wait
-        best = min(best, time.perf_counter() - t0)
-    return best / N_SCAN
+    return scan_time_diff(body, init, lengths=(N_SCAN, 3 * N_SCAN),
+                          n_outer=n_outer, warmup=warmup)
 
 
 def cost_of(fn, *args):

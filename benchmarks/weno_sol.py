@@ -22,12 +22,13 @@ unfalsifiable.  This script replaces it with two independent bounds:
 Run on the real TPU: `python benchmarks/weno_sol.py`.
 Results are committed to docs/performance.md (roofline section).
 
-TIMING GOTCHA (this backend, 2026-08-20): `jax.block_until_ready` does NOT
+TIMING GOTCHA (this backend): `jax.block_until_ready` does NOT reliably
 synchronize on the axon remote backend — identical dispatches return in ~60 us
 regardless of work (a 10 GB-traffic scan "measured" 180 TB/s).  Forcing a scalar
-FETCH (`float(out.ravel()[0])`) does synchronize and recovers the known 233 GB/s
-stream number.  Every timing loop below syncs by fetch; iteration counts are sized
-so each timed call is >=30 ms, making the ~1-3 ms fetch round-trip negligible.
+FETCH (`float(out.ravel()[0])`) does synchronize — but the fetch itself costs a
+VARIABLE constant (1-3 ms on 2026-08-19, 55-64 ms on 2026-08-20), so every probe
+below times DIFFERENTIALLY between two iteration counts: rate = extra work /
+(t_long - t_short), which cancels the tax (see utils/profiling.scan_time_diff).
 """
 
 import functools
@@ -50,6 +51,22 @@ def sync(a):
     (see module docstring); returns the array unchanged."""
     float(jnp.ravel(a)[0])
     return a
+
+
+def diff_rate(make_run, x, lengths, work_per_unit, rounds=4):
+    """Differential rate: ``make_run(L)`` builds a jitted fn doing L units of
+    work; rate = work_per_unit*(L2-L1) / (min t(L2) - min t(L1)). The output is
+    chained back into the input so work cannot be elided across calls, and the
+    constant per-call sync/dispatch tax cancels in the subtraction."""
+    r1, r2 = make_run(lengths[0]), make_run(lengths[1])
+    out = sync(r2(r1(x)))
+    best = [float("inf"), float("inf")]
+    for _ in range(rounds):
+        for i, r in enumerate((r1, r2)):
+            t0 = time.perf_counter()
+            out = sync(r(out))
+            best[i] = min(best[i], time.perf_counter() - t0)
+    return work_per_unit * (lengths[1] - lengths[0]) / (best[1] - best[0])
 
 # ---------------------------------------------------------------------------------
 # 1. Analytic flop / issue-slot accounting for ONE upwind WENO-5 reconstruction
@@ -148,29 +165,26 @@ def _weno_sol_kernel(x_ref, out_ref, buf, sem, *, n_iter, W, Xe, upwind):
 
 
 def weno_probe(n_iter=2048, W=96, Xe=1536, upwind=True, dtype=jnp.float32):
-    """Reconstruction-points/s of the pure WENO-5 math on a VMEM-resident block."""
+    """Reconstruction-points/s of the pure WENO-5 math on a VMEM-resident block
+    (differential between n_iter and 3*n_iter kernels — see diff_rate)."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((W, Xe)), dtype)
 
-    kern = functools.partial(_weno_sol_kernel, n_iter=n_iter, W=W, Xe=Xe,
-                             upwind=upwind)
-    run = jax.jit(lambda xi: pl.pallas_call(
-        kern,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((W, Xe), lambda p: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((W, Xe), dtype),
-        scratch_shapes=[pltpu.VMEM((W, Xe), dtype), pltpu.SemaphoreType.DMA(())],
-    )(xi))
+    def make_run(L):
+        kern = functools.partial(_weno_sol_kernel, n_iter=L, W=W, Xe=Xe,
+                                 upwind=upwind)
+        return jax.jit(lambda xi: pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((W, Xe), lambda p: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((W, Xe), dtype),
+            scratch_shapes=[pltpu.VMEM((W, Xe), dtype),
+                            pltpu.SemaphoreType.DMA(())],
+        )(xi))
 
-    out = sync(run(x))
-    best = float("inf")
-    for _ in range(5):
-        x = out  # chain so work cannot be elided across calls
-        t0 = time.perf_counter()
-        out = sync(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return W * Xe * n_iter / best
+    return diff_rate(make_run, x, (n_iter, 3 * n_iter), W * Xe)
 
 
 # ---------------------------------------------------------------------------------
@@ -188,19 +202,14 @@ def xla_fused_rate(n_scan=80, W=1024, Xe=1536, dtype=jnp.float32):
         r = _weno5_left(m3, m2, m1, c, p1)
         return r - 0.5 * jnp.sign(r) * jnp.abs(r) * 1e-3
 
-    @jax.jit
-    def run(c):
-        out, _ = jax.lax.scan(lambda s, _: (body(s), None), c, None, length=n_scan)
-        return out
+    def make_run(L):
+        @jax.jit
+        def run(c):
+            out, _ = jax.lax.scan(lambda s, _: (body(s), None), c, None, length=L)
+            return out
+        return run
 
-    out = sync(run(x))
-    best = float("inf")
-    for _ in range(5):
-        x = out
-        t0 = time.perf_counter()
-        out = sync(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return W * Xe * n_scan / best
+    return diff_rate(make_run, x, (n_scan, 3 * n_scan), W * Xe)
 
 
 def fma_ceiling(nf=8 * 1024 * 1024, n_scan=20):
@@ -215,20 +224,16 @@ def fma_ceiling(nf=8 * 1024 * 1024, n_scan=20):
             o = o + a
         return o * 1e-3
 
-    @jax.jit
-    def run(c):
-        out, _ = jax.lax.scan(lambda s, _: (fma_body(s), None), c, None,
-                              length=n_scan)
-        return out
+    def make_run(L):
+        @jax.jit
+        def run(c):
+            out, _ = jax.lax.scan(lambda s, _: (fma_body(s), None), c, None,
+                                  length=L)
+            return out
+        return run
 
-    out = sync(run(xf))
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = sync(run(out))
-        best = min(best, time.perf_counter() - t0)
     flops_per_elem = 2 * (8 + 8 * 15) + 7 + 1
-    return nf * n_scan * flops_per_elem / best
+    return diff_rate(make_run, xf, (n_scan, 3 * n_scan), nf * flops_per_elem)
 
 
 if __name__ == "__main__":

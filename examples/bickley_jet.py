@@ -18,7 +18,7 @@ import numpy as np
 
 
 def build(nx=180, ny=90, dtype=None, substeps=30,
-          first_pole_longitude=45.0, north_poles_latitude=25.0):
+          first_pole_longitude=45.0, north_poles_latitude=25.0, **model_kwargs):
     import jax.numpy as jnp
 
     import orthogonalsphericalshellgrids_tpu as osg
@@ -48,7 +48,7 @@ def build(nx=180, ny=90, dtype=None, substeps=30,
         return np.where(land, 1.0, 0.0)
 
     model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=substeps),
-                       bottom_height=bottom)
+                       bottom_height=bottom, **model_kwargs)
 
     # Initial conditions (examples/bickley_jet.jl:57-73)
     eps, ell, k = 0.1, 0.5, 2.5

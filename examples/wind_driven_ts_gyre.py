@@ -27,7 +27,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def build(nx=180, ny=80, nz=6, dtype=None, substeps=20,
-          first_pole_longitude=70.0, north_poles_latitude=55.0, depth=2000.0):
+          first_pole_longitude=70.0, north_poles_latitude=55.0, depth=2000.0,
+          **model_kwargs):
     import jax.numpy as jnp
 
     import orthogonalsphericalshellgrids_tpu as osg
@@ -82,6 +83,7 @@ def build(nx=180, ny=80, nz=6, dtype=None, substeps=20,
         kappa_h=1e2,
         nu_v=1e-3,
         kappa_v=1e-5,
+        **model_kwargs,
     )
 
     # warm/salty subtropics, cold/fresh poles; surface-intensified stratification

@@ -189,6 +189,7 @@ def make_layered_model(
     momentum_advection: str = "weno_vector_invariant",
     forcing=None,           # {target: fn} with target in {"u","v","b"} | tracers;
                             # fn(λ°, φ°, z[m], t, fields) -> per-layer tendency term
+    block_rows: int | None = None,  # barotropic Pallas kernel row-block override
 ) -> LayeredModel:
     """Assemble the layered model. The embedded single-layer model provides the
     barotropic engine (widened-halo grid, SM05 weights, Pallas subcycle kernel) and
@@ -232,7 +233,8 @@ def make_layered_model(
                       use_pallas=use_pallas, tracer_advection=tracer_advection,
                       momentum_advection=momentum_advection,
                       wind_stress=wind_stress, bottom_drag=bottom_drag,
-                      nu_h=nu_h, kappa_h=kappa_h, nu4_h=nu4_h, kappa4_h=kappa4_h)
+                      nu_h=nu_h, kappa_h=kappa_h, nu4_h=nu4_h, kappa4_h=kappa4_h,
+                      block_rows=block_rows)
     nz = grid.Nz
     # Layer-center depths / thicknesses, k = 0 at the surface (stretched-aware).
     zc, dz_layers, dzc_layers = _layer_geometry(grid)

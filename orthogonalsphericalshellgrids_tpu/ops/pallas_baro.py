@@ -34,15 +34,17 @@ __all__ = ["barotropic_substeps_pallas", "pad_pack", "auto_block_rows",
 
 DEFAULT_BLOCK_ROWS = 152  # v5e sweep at 1/4 deg: 152 > 128 > 96 (see docs/performance.md)
 
-# Scoped-VMEM budget for the auto block chooser. The hardware window is 16 MB on
-# v5e; leave headroom because XLA's memory-space assignment may co-locate operand /
-# output prefetch copies with the kernel's scoped stack (observed: an identical
-# kernel geometry compiles inside one surrounding graph and OOMs at 17.95M/16M
-# inside another). 14.5 MB admits B=152 at the 1/4-degree geometry (footprint
-# 14.39 MB), which compiled and ran in the full bench graph in rounds 1-3 and is
-# step-measured ~8% faster than B=144 (972 M -> 1.046 G pts/s adjacent-window A/B,
-# round-3 verdict); the round-2 14 MB budget rejected it and regressed the headline.
-_VMEM_BUDGET_BYTES = int(14.5 * 2**20)
+# Scoped-VMEM budget for the auto block chooser. The compiler's default scoped
+# limit is 16 MB, but that is a FLAG, not the v5e hardware ceiling:
+# barotropic_substeps_pallas auto-raises the limit to its footprint + 4 MB of
+# XLA-co-location headroom, and a 58.2 MB single-window kernel (B=728 at the
+# 1/4-degree geometry) compiles and RUNS on v5e inside both the single-layer and
+# the layered step graphs (round-4 measurements: 691 us/step single-layer —
+# ~5% faster than the best multi-window B=152 at 725 us, because a single window
+# has ZERO overlap redundancy). 60 MB admits that single window; rounds 2-3's
+# 14 MB budget (calibrated to the 16 MB default limit) forced multi-window
+# blocks and cost ~8-13% in redundant substep rows.
+_VMEM_BUDGET_BYTES = 60 * 2**20
 
 
 def auto_block_rows(Ye, Xe, n_sub, itemsize=4, block_rows=None,
@@ -270,6 +272,17 @@ def barotropic_substeps_pallas(pack_static, eta, U, V, GU, GV, dtau, weights,
     )
 
     kwargs = {}
+    if vmem_limit_mb is None and not interpret:
+        # Auto-raise the scoped-VMEM limit above the compiler's 16 MB default:
+        # XLA may co-locate operand/output prefetch copies with the kernel's
+        # scoped stack, and whether it does depends on the SURROUNDING graph —
+        # the same B=152 geometry (14.39 MB scoped) compiled clean in the
+        # single-layer step but hit "17.06M > 16.00M" inside the layered step.
+        # The 16 MB default is a flag, not the hardware ceiling: a 20 MB limit
+        # compiles and RUNS on v5e (measured, round 4). Give the kernel its
+        # footprint plus 4 MB of co-location headroom.
+        footprint = (10 * W + 3 * B) * Xe_pad * jnp.dtype(eta.dtype).itemsize
+        vmem_limit_mb = max(16.0, footprint / 2**20 + 4.0)
     if vmem_limit_mb is not None and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb * 2**20))

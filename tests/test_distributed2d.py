@@ -253,12 +253,16 @@ def test_2d_layered_overlap_split_bitwise():
     g = model.grid
     ge = model.baro.grid_ext
     I3 = (slice(None),) + g.interior2d
-    # Tolerance note: unlike the single-layer splits (bitwise above/in
-    # test_distributed.py), the layered-2D split program fuses differently enough
-    # that XLA:CPU's FMA-contraction decisions diverge on identical input values —
-    # measured drift is ~1 ulp (2.6e-18 abs on u after 3 steps) confined to cells
-    # whose whole dependency cone is kept-bulk (bitwise-identical inputs), i.e.
-    # compilation noise, not a split error. Pin at a few-ulp band.
+    # Tolerance note (docs/parity.md row L10): unlike the single-layer splits
+    # (bitwise above/in test_distributed.py), the layered-2D split program compiles
+    # differently enough that XLA:CPU's re-association/scheduling diverges on
+    # identical input values — measured drift is ~1 ulp (2.6e-18 abs on u after 3
+    # steps) confined to cells whose whole dependency cone is kept-bulk
+    # (bitwise-identical inputs), i.e. compilation noise, not a split error.
+    # Round-4 closure attempts (all negative, see parity row L10):
+    # --xla_allow_excess_precision=false, optimization_barrier at the
+    # tendency->update boundary, optimization_barrier on the tendency inputs.
+    # Tracers/buoyancy ARE bitwise through the same machinery. Pin the band.
     for name in ("u", "v", "c"):
         np.testing.assert_allclose(np.asarray(getattr(ga, name))[I3],
                                    np.asarray(getattr(gb, name))[I3],

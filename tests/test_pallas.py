@@ -89,16 +89,21 @@ def test_barotropic_pallas_acc_window_mode():
 
 
 def test_auto_block_rows_minimizes_processed_rows():
-    """Round-3 regression pin: at the 1/4-degree geometry (Ye=724, Xe=1450,
-    n_sub=21) the chooser must pick B=152 (5 programs x 200-row windows = 1000
-    processed rows), not the max-B-under-budget pick B=144 (6 x 192 = 1152 rows,
-    measured ~8% slower end-to-end)."""
+    """Round-3 regression pin: the chooser must minimize total processed rows
+    (n_prog * W), not maximize B under the budget. At the 1/4-degree geometry
+    (Ye=724, Xe=1450, n_sub=21) with the round-4 60 MB budget that is the
+    SINGLE-WINDOW kernel B=728 (728 rows, zero overlap redundancy — measured
+    691 us/step vs 725 at B=152 vs 787 at the old max-B pick B=144); under a
+    16 MB-class budget it must be B=152 (1000 rows), not B=144 (1152 rows)."""
     from orthogonalsphericalshellgrids_tpu.ops.pallas_baro import (
         _VMEM_BUDGET_BYTES, _geometry, auto_block_rows)
 
     Ye, Xe, n_sub = 724, 1450, 21
     B = auto_block_rows(Ye, Xe, n_sub)
-    assert B == 152, B
+    assert B == 728, B
+    # under the old 16 MB-class budget the optimum is B=152, never B=144
+    assert auto_block_rows(Ye, Xe, n_sub,
+                           vmem_budget_bytes=int(14.5 * 2**20)) == 152
     # the chosen block is optimal: no admissible B processes fewer total rows
     Xe_pad = -128 * (-Xe // 128)
     _, W, n_prog, _ = _geometry(Ye, n_sub, B)
