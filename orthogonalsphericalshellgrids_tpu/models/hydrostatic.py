@@ -165,6 +165,31 @@ def _fill(grid: TripolarGrid, A, loc, sign, spmd=None):
     return fill_halos_spmd(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy, spmd)
 
 
+def _fill_interpret():
+    # interpret-mode Pallas on non-TPU backends so the "pallas" fill mode is
+    # testable on the CPU CI mesh (same convention as tests/test_pallas.py)
+    return jax.default_backend() != "tpu"
+
+
+def _fill_aliased(grid, A, loc, sign, save=False):
+    """Serial halo fill as aliased Pallas strip writes (ops/pallas_fill.py):
+    bitwise-equal to ``_fill`` with ~2% of its HBM traffic. With ``save=True``
+    also returns the pre-fill contents of the written regions so the caller can
+    reconstruct the UNFILLED array later without keeping the input buffer alive
+    (see ``layered_step``'s predictor / ``step``'s tracer update)."""
+    from ..ops.pallas_fill import fill_halos_pallas
+
+    return fill_halos_pallas(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
+                             interpret=_fill_interpret(), save=save)
+
+
+def _unfill_aliased(grid, A, saved, loc):
+    from ..ops.pallas_fill import restore_strips_pallas
+
+    return restore_strips_pallas(A, saved, loc, grid.Nx, grid.Ny, grid.Hx,
+                                 grid.Hy, interpret=_fill_interpret())
+
+
 def _fill_batch(grid: TripolarGrid, S, locs, signs, spmd=None):
     """Batched halo fill of a (K, y, x) stack — one shared op set / one collective
     pair (1-D) or a 2-phase exchange + fold gather (2-D) for all planes."""
@@ -840,13 +865,25 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
             f"radius {overlap_radius(model)} needs Hy >= radius+1 and Hx >= radius "
             f"(grid halo is ({g.Hx}, {g.Hy})) — widen the halo or pass overlap=False")
 
-    # Halo-fill mode: per-field for serial runs (the stack/unstack round-trips of the
-    # batched path cost ~200 us/step on a v5e at 1/4 degree — measured, see
-    # docs/performance.md), batched for SPMD runs (one collective pair for all
-    # planes beats per-field ppermutes). With `overlap` the prognostic fill happens
-    # inside tendencies_overlapped instead.
+    # Halo-fill mode: aliased Pallas strip writes for serial TPU runs (the fill
+    # kernels touch ONLY the halo-strip blocks in HBM — ops/pallas_fill.py;
+    # bitwise-equal to the XLA fills), per-field XLA strip writes elsewhere
+    # serial (the stack/unstack round-trips of the batched path cost ~200 us/step
+    # on a v5e at 1/4 degree — measured, see docs/performance.md), batched for
+    # SPMD runs (one collective pair for all planes beats per-field ppermutes).
+    # With `overlap` the prognostic fill happens inside tendencies_overlapped.
     if fill_mode is None:
-        fill_mode = "batch" if spmd is not None else "per"
+        if spmd is not None:
+            fill_mode = "batch"
+        else:
+            fill_mode = "pallas" if model.use_pallas else "per"
+    if fill_mode not in ("pallas", "per", "batch"):
+        raise ValueError(f"unknown fill_mode {fill_mode!r}; options: pallas|per|batch")
+    if fill_mode == "pallas" and spmd is not None:
+        raise ValueError(
+            "fill_mode='pallas' is a serial-only path; sharded (spmd) runs use "
+            "the batched-exchange fill (fill_mode='batch' or None)")
+    sv_c = None
     if overlap:
         SB = None
     elif fill_mode == "batch" or spmd is not None:
@@ -854,6 +891,14 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
         S = _fill_batch(g, _stack_uvc(state.u, state.v, state.c),
                         locs_uvc, signs_uvc, spmd)
         SB = _unstack_uvc(S, state.c)
+    elif fill_mode == "pallas":
+        # state.u/state.v are dead after the fill (the single-layer corrector
+        # rebuilds them from the barotropic averages), so their buffers are
+        # donated outright; state.c is needed again for the tracer update, so
+        # its pre-fill strips are saved and restored below (bitwise).
+        c_f, sv_c = _fill_aliased(g, state.c, CC, 1, save=True)
+        SB = (_fill_aliased(g, state.u, FC, -1),
+              _fill_aliased(g, state.v, CF, -1), c_f)
     else:
         SB = (_fill(g, state.u, FC, -1), _fill(g, state.v, CF, -1),
               _fill(g, state.c, CC, 1))  # leading tracer axis rides along
@@ -867,6 +912,10 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
         SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
                           [CC, FC, CF], [1, -1, -1], spmd)
         eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
+    elif fill_mode == "pallas":
+        eta_f = _fill_aliased(ge, state.eta, CC, 1)
+        U_f = _fill_aliased(ge, state.U, FC, -1)
+        V_f = _fill_aliased(ge, state.V, CF, -1)
     else:
         eta_f = _fill(ge, state.eta, CC, 1)
         U_f = _fill(ge, state.U, FC, -1)
@@ -886,7 +935,14 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
     Gc_s = w1 * Gc - w2 * state.Gc
     GUb = model.ib.h_u * Gu_s
     GVb = model.ib.h_v * Gv_s
-    c_new = (state.c + dt * Gc_s) * model.ib.mask_c
+    if sv_c is not None:
+        # reconstruct the UNFILLED tracer bitwise from the donated filled buffer
+        # (dead after the tendency pass) — referencing state.c here would force
+        # XLA to defensively copy it ahead of the aliased fill kernel
+        c0 = _unfill_aliased(g, SB[2], sv_c, CC)
+    else:
+        c0 = state.c
+    c_new = (c0 + dt * Gc_s) * model.ib.mask_c
 
     # fill of the depth-integrated forcing planes (valid through the widened halo
     # rows); eta/U/V were already exchanged above, overlapping the tendency compute
@@ -895,6 +951,9 @@ def step(model: HydrostaticModel, state: State, dt, spmd=None,
     if fill_mode == "batch" or spmd is not None:
         SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
         GU_f, GV_f = SG[0], SG[1]
+    elif fill_mode == "pallas":
+        GU_f = _fill_aliased(ge, GU0, FC, -1)
+        GV_f = _fill_aliased(ge, GV0, CF, -1)
     else:
         GU_f = _fill(ge, GU0, FC, -1)
         GV_f = _fill(ge, GV0, CF, -1)

@@ -47,7 +47,8 @@ from ..ops.advection import (centered_faces_from_centers, tracer_faces,
 from ..ops.location import CC, CF, FC
 from ..ops.spmd2d import Spmd2D
 from ..ops.operators import dxc, dxf, dyc, dyf, ixc, ixf, iyc, iyf
-from .hydrostatic import (HydrostaticModel, _CHI, _fill, _fill_batch, _inv,
+from .hydrostatic import (HydrostaticModel, _CHI, _fill, _fill_aliased,
+                          _fill_batch, _fill_interpret, _inv, _unfill_aliased,
                           barotropic_substeps, crop_ext, embed_ext, make_model)
 from .split_explicit import SplitExplicitFreeSurface
 
@@ -101,6 +102,11 @@ class LayeredModel:
     # deepest-wet-layer indicator masks (bottom drag acts there)
     bot_u: Any
     bot_v: Any
+    # prefactored static planes for the VMEM-resident tracer-advection kernel
+    # (ops/pallas_adv.py): A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask/(az*dz)
+    adv_au: Any
+    adv_av: Any
+    adv_iv: Any
     # static metadata
     nz: int
     dz: tuple        # per-layer thickness [m], surface-first (uniform -> equal entries)
@@ -151,7 +157,7 @@ for _cls, _data, _meta in [
     (LayeredState, [f.name for f in dataclasses.fields(LayeredState)], []),
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
-      "bot_u", "bot_v"],
+      "bot_u", "bot_v", "adv_au", "adv_av", "adv_iv"],
      ["nz", "dz", "dzc", "zc", "forcing", "buoyancy", "kappa_v", "nu_v", "vert_impl",
       "tracer_names", "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
@@ -277,6 +283,9 @@ def make_layered_model(
         bot_v=bottom_indicator(mask_v3),
         dzu=dzu,
         dzv=dzv,
+        adv_au=dzu * grid.dy_fc,
+        adv_av=dzv * grid.dx_cf,
+        adv_iv=mask_c3 * _inv(grid.az_cc * dz3),
         inv_h_u=_inv(jnp.sum(dzu, axis=0)),
         inv_h_v=_inv(jnp.sum(dzv, axis=0)),
         nz=nz,
@@ -622,13 +631,27 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
 
     # --- tracers: flux-form WENO-5 (x, y) + Centered (z)
     inv_vol = model.mask_c3 * _inv(g.az_cc * model.dz3)
+    # VMEM-resident horizontal-advection kernel (ops/pallas_adv.py) on TPU for
+    # the WENO-5 scheme: same math with the A_u/A_v factors pre-associated at
+    # model build (adv_au/adv_av) — the XLA path materializes its roll shifts
+    # through HBM on this memory-bound stack. Tight-band parity pinned in
+    # tests/test_pallas_adv.py.
+    use_adv_kernel = m.use_pallas and m.tracer_advection == "weno5"
 
     def tracer_tendency(cq):
-        cx = tracer_faces(cq, u, axis=-1, scheme=m.tracer_advection)
-        cy = tracer_faces(cq, v, axis=-2, scheme=m.tracer_advection)
-        fx = u * model.dzu * g.dy_fc * cx
-        fy = v * model.dzv * g.dx_cf * cy
-        G = -(dxc(fx) + dyc(fy)) * inv_vol
+        if use_adv_kernel:
+            from ..ops.pallas_adv import tracer_adv_pallas
+
+            P3 = cq.reshape((-1,) + cq.shape[-2:])
+            G = tracer_adv_pallas(P3, u, v, model.adv_au, model.adv_av,
+                                  model.adv_iv,
+                                  interpret=_fill_interpret()).reshape(cq.shape)
+        else:
+            cx = tracer_faces(cq, u, axis=-1, scheme=m.tracer_advection)
+            cy = tracer_faces(cq, v, axis=-2, scheme=m.tracer_advection)
+            fx = u * model.dzu * g.dy_fc * cx
+            fy = v * model.dzv * g.dx_cf * cy
+            G = -(dxc(fx) + dyc(fy)) * inv_vol
         G = G + _vertical_tracer_div(w, cq, model.dz3) * model.mask_c3
         if model.kappa_v > 0.0 and not model.vert_impl:
             G = G + model.kappa_v * _vertical_laplacian(cq, model.dz3, model.dzc3, model.mask_c3) \
@@ -687,29 +710,6 @@ def _fill3(model: LayeredModel, A, loc, sign, spmd=None):
     return _fill_batch(g, A, [loc] * nz, [sign] * nz, spmd)
 
 
-def _fill_interpret():
-    # interpret-mode Pallas on non-TPU backends so the "pallas" fill mode is
-    # testable on the CPU CI mesh (same convention as tests/test_pallas.py)
-    return jax.default_backend() != "tpu"
-
-
-def _fill_aliased(grid, A, loc, sign, save=False):
-    """Serial halo fill as aliased Pallas strip writes (ops/pallas_fill.py):
-    bitwise-equal to ``_fill``/``_fill3`` with ~2% of their HBM traffic. With
-    ``save=True`` also returns the pre-fill contents of the written regions so the
-    caller can reconstruct the UNFILLED array later without keeping the input
-    buffer alive (see ``layered_step``'s predictor)."""
-    from ..ops.pallas_fill import fill_halos_pallas
-
-    return fill_halos_pallas(A, loc, sign, grid.Nx, grid.Ny, grid.Hx, grid.Hy,
-                             interpret=_fill_interpret(), save=save)
-
-
-def _unfill_aliased(grid, A, saved, loc):
-    from ..ops.pallas_fill import restore_strips_pallas
-
-    return restore_strips_pallas(A, saved, loc, grid.Nx, grid.Ny, grid.Hx,
-                                 grid.Hy, interpret=_fill_interpret())
 
 
 def _layered_stack(model: LayeredModel, state: LayeredState):

@@ -55,6 +55,7 @@ _MODEL_FIELDS = {
 _LAYERED_FIELDS = {
     "mask_c3": BASE, "mask_u3": BASE, "mask_v3": BASE,
     "dzu": BASE, "dzv": BASE,
+    "adv_au": BASE, "adv_av": BASE, "adv_iv": BASE,
     "inv_h_u": BASE, "inv_h_v": BASE,
     "bot_u": BASE, "bot_v": BASE,
 }

@@ -167,3 +167,40 @@ def test_layered_fill_mode_validation():
     with pytest.raises(ValueError, match="serial-only"):
         layered_step(model, state, 60.0, fill_mode="pallas",
                      spmd=Spmd(n_shards=2))
+
+
+def test_single_layer_step_pallas_fill_bitwise():
+    """The single-layer step through fill_mode='pallas' (aliased strip-write
+    fills, round-4 default for serial TPU runs) must be bitwise-equal to the
+    XLA per-field fill path."""
+    import orthogonalsphericalshellgrids_tpu as osg
+    from orthogonalsphericalshellgrids_tpu.models import (
+        SplitExplicitFreeSurface, initial_state, make_model, step)
+
+    grid = osg.TripolarGrid.make((48, 40, 1), dtype=jnp.float64,
+                                 first_pole_longitude=45.0,
+                                 north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        return np.where(phi < -78, 1.0, 0.0)
+
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=8),
+                       bottom_height=bottom, use_pallas=False, coriolis=True,
+                       tracers=("T", "S"))
+    state = initial_state(
+        model,
+        u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        eta=lambda lam, phi: 0.01 * np.cos(np.deg2rad(lam) * 2),
+        c={"T": lambda lam, phi: np.sin(np.deg2rad(lam)),
+           "S": lambda lam, phi: 35.0 + np.cos(np.deg2rad(phi))},
+    )
+    sa = sb = state
+    for _ in range(3):
+        sa = step(model, sa, 90.0, fill_mode="pallas")
+        sb = step(model, sb, 90.0, fill_mode="per")
+    for name in ("u", "v", "eta", "U", "V", "c", "Gu", "Gv", "Gc"):
+        a, b = np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name))
+        assert np.array_equal(a, b), name
+    # validation mirrors the layered engine's
+    with pytest.raises(ValueError, match="fill_mode"):
+        step(model, state, 90.0, fill_mode="palas")

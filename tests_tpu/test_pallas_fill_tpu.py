@@ -64,3 +64,50 @@ def test_layered_step_runs_compiled():
     s = jax.jit(lambda m, s: layered_step(m, s, 60.0))(model, state)
     assert bool(jnp.all(jnp.isfinite(s.u)))
     assert bool(jnp.all(jnp.isfinite(s.eta)))
+
+
+def test_single_layer_step_runs_compiled():
+    """One compiled single-layer step through the default (pallas-fill) path."""
+    import orthogonalsphericalshellgrids_tpu as osg
+    from orthogonalsphericalshellgrids_tpu.models import (
+        SplitExplicitFreeSurface, initial_state, make_model, step)
+
+    grid = osg.TripolarGrid.make((48, 40, 1), dtype=jnp.float32,
+                                 first_pole_longitude=45.0,
+                                 north_poles_latitude=35.0)
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=8))
+    assert model.use_pallas
+    state = initial_state(
+        model, eta=lambda lam, phi: 0.01 * np.cos(np.deg2rad(lam) * 2))
+    s = jax.jit(lambda m, s: step(m, s, 60.0))(model, state)
+    assert bool(jnp.all(jnp.isfinite(s.u)))
+    assert bool(jnp.all(jnp.isfinite(s.eta)))
+
+
+def test_tracer_adv_kernel_compiled():
+    """Compiled Mosaic lowering of the tracer-advection kernel vs the XLA
+    slice (same association) — the default layered TPU path routes through it."""
+    from orthogonalsphericalshellgrids_tpu.ops.advection import (
+        weno5_upwind_faces_from_centers)
+    from orthogonalsphericalshellgrids_tpu.ops.operators import dxc, dyc
+    from orthogonalsphericalshellgrids_tpu.ops.pallas_adv import tracer_adv_pallas
+
+    rng = np.random.default_rng(0)
+    P, nz, Yb, Xb = 4, 2, 120, 140
+    c = jnp.asarray(rng.standard_normal((P, Yb, Xb)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
+    au = jnp.asarray(1.0 + rng.random((nz, Yb, Xb)), jnp.float32)
+    av = jnp.asarray(1.0 + rng.random((nz, Yb, Xb)), jnp.float32)
+    iv = jnp.asarray(rng.random((nz, Yb, Xb)), jnp.float32)
+
+    c4 = c.reshape(P // nz, nz, Yb, Xb)
+    cx = weno5_upwind_faces_from_centers(c4, u, axis=-1)
+    cy = weno5_upwind_faces_from_centers(c4, v, axis=-2)
+    want = np.asarray((-(dxc(u * au * cx) + dyc(v * av * cy)) * iv)
+                      .reshape(c.shape))
+    got = np.asarray(jax.jit(lambda *a: tracer_adv_pallas(*a, block_rows=48))(
+        c, u, v, au, av, iv))
+    I = (slice(None), slice(4, Yb - 4), slice(4, Xb - 4))
+    np.testing.assert_allclose(want[I], got[I], rtol=2e-6,
+                               atol=2e-6 * np.abs(want[I]).max())
