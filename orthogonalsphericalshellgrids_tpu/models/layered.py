@@ -41,6 +41,7 @@ import numpy as np
 
 from ..grids.tripolar import TripolarGrid
 from ..ops import zipper
+from ..ops.closures import _ratio as _cratio
 from ..ops.advection import (centered_faces_from_centers, tracer_faces,
                              weno5_upwind_centers_from_faces,
                              weno5_upwind_faces_from_centers)
@@ -103,10 +104,18 @@ class LayeredModel:
     bot_u: Any
     bot_v: Any
     # prefactored static planes for the VMEM-resident tracer-advection kernel
-    # (ops/pallas_adv.py): A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask/(az*dz)
+    # (ops/pallas_adv.py): A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask/(az*dz);
+    # adv_k* carry the fused kappa_h Laplacian factors (None when kappa_h == 0)
     adv_au: Any
     adv_av: Any
     adv_iv: Any
+    adv_ku: Any
+    adv_kv: Any
+    adv_kc: Any
+    # momentum-kernel operand packs (ops/pallas_mom.py): (8, Yb, Xb) static
+    # metric planes; (Nz, L, Yb, Xb) per-layer Laplacian/drag factors (or None)
+    mom_static: Any
+    mom_lay: Any
     # static metadata
     nz: int
     dz: tuple        # per-layer thickness [m], surface-first (uniform -> equal entries)
@@ -157,7 +166,8 @@ for _cls, _data, _meta in [
     (LayeredState, [f.name for f in dataclasses.fields(LayeredState)], []),
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
-      "bot_u", "bot_v", "adv_au", "adv_av", "adv_iv"],
+      "bot_u", "bot_v", "adv_au", "adv_av", "adv_iv", "adv_ku", "adv_kv",
+      "adv_kc", "mom_static", "mom_lay"],
      ["nz", "dz", "dzc", "zc", "forcing", "buoyancy", "kappa_v", "nu_v", "vert_impl",
       "tracer_names", "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
@@ -274,18 +284,56 @@ def make_layered_model(
     dz3 = jnp.asarray(dz_layers, dt).reshape(-1, 1, 1)
     dzu = dz3 * mask_u3
     dzv = dz3 * mask_v3
+    bot_u3 = bottom_indicator(mask_u3)
+    bot_v3 = bottom_indicator(mask_v3)
+
+    # operand packs for the VMEM-resident momentum kernel (ops/pallas_mom.py):
+    # the 8 static metric planes, plus per-layer prefactored Laplacian/drag
+    # planes when those closures are active (fused into the kernel window)
+    mom_static = jnp.stack([
+        grid.dy_cf, grid.dx_fc, baro.inv_az_ff, baro.f_ff,
+        grid.dx_cf, baro.inv_dx_fc, grid.dy_fc, baro.inv_dy_cf])
+    lay_parts = []
+    if nu_h > 0.0:
+        m_ff_u = mask_u3 * jnp.roll(mask_u3, 1, axis=-2)
+        m_ff_v = mask_v3 * jnp.roll(mask_v3, 1, axis=-1)
+        lay_parts += [
+            nu_h * _cratio(grid.dy_cc, grid.dx_cc) * mask_c3,
+            nu_h * _cratio(grid.dx_ff, grid.dy_ff) * m_ff_u,
+            _inv(grid.az_fc) * mask_u3,
+            nu_h * _cratio(grid.dy_ff, grid.dx_ff) * m_ff_v,
+            nu_h * _cratio(grid.dx_cc, grid.dy_cc) * mask_c3,
+            _inv(grid.az_cf) * mask_v3,
+        ]
+    if baro.drag_type == "quadratic":
+        lay_parts += [baro.drag_coeff / dz3 * bot_u3,
+                      baro.drag_coeff / dz3 * bot_v3]
+    # stored flattened (Nz*L, Yb, Xb): plane k*L+i is layer k's i-th factor —
+    # the layout the kernel DMAs from, and the 3-D shape the row partitioner
+    # (parallel/distributed*.py) knows how to shard
+    mom_lay = (jnp.concatenate([jnp.stack([p[k] for p in lay_parts])
+                                for k in range(nz)])
+               if lay_parts else None)
+
     return LayeredModel(
         baro=baro,
         mask_c3=mask_c3,
         mask_u3=mask_u3,
         mask_v3=mask_v3,
-        bot_u=bottom_indicator(mask_u3),
-        bot_v=bottom_indicator(mask_v3),
+        bot_u=bot_u3,
+        bot_v=bot_v3,
+        mom_static=mom_static,
+        mom_lay=mom_lay,
         dzu=dzu,
         dzv=dzv,
         adv_au=dzu * grid.dy_fc,
         adv_av=dzv * grid.dx_cf,
         adv_iv=mask_c3 * _inv(grid.az_cc * dz3),
+        adv_ku=(kappa_h * _cratio(grid.dy_fc, grid.dx_fc) * mask_u3
+                if kappa_h > 0.0 else None),
+        adv_kv=(kappa_h * _cratio(grid.dx_cf, grid.dy_cf) * mask_v3
+                if kappa_h > 0.0 else None),
+        adv_kc=(_inv(grid.az_cc) * mask_c3 if kappa_h > 0.0 else None),
         inv_h_u=_inv(jnp.sum(dzu, axis=0)),
         inv_h_v=_inv(jnp.sum(dzv, axis=0)),
         nz=nz,
@@ -567,20 +615,33 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     m = model.baro
 
     # --- per-layer relative (+ planetary) vorticity and vector-invariant terms
-    zeta = (dxf(g.dy_cf * v) - dyf(g.dx_fc * u)) * m.inv_az_ff
-    q = zeta + m.f_ff if m.coriolis else zeta
     upwind_q = m.momentum_advection == "weno_vector_invariant"
+    # VMEM-resident momentum kernel on TPU (ops/pallas_mom.py): advective terms
+    # plus the nu_h Laplacian and quadratic drag fused into the same window —
+    # the corresponding XLA blocks below are skipped on this path
+    use_mom_kernel = m.use_pallas and upwind_q
+    if use_mom_kernel:
+        from ..ops.pallas_mom import momentum_pallas
+        from .hydrostatic import _fill_interpret
 
-    v_hat = ixf(iyc(g.dx_cf * v)) * m.inv_dx_fc
-    q_at_u = (weno5_upwind_centers_from_faces(q, v_hat, axis=-2)
-              if upwind_q else iyc(q))
-    ke = 0.5 * (ixc(u * u) + iyc(v * v))
-    Gu = q_at_u * v_hat - dxf(ke) * m.inv_dx_fc
+        Gu, Gv = momentum_pallas(
+            u, v, model.mom_static, model.mom_lay,
+            has_lap=m.nu_h > 0.0, has_drag=m.drag_type == "quadratic",
+            interpret=_fill_interpret())
+    else:
+        zeta = (dxf(g.dy_cf * v) - dyf(g.dx_fc * u)) * m.inv_az_ff
+        q = zeta + m.f_ff if m.coriolis else zeta
 
-    u_hat = iyf(ixc(g.dy_fc * u)) * m.inv_dy_cf
-    q_at_v = (weno5_upwind_centers_from_faces(q, u_hat, axis=-1)
-              if upwind_q else ixc(q))
-    Gv = -q_at_v * u_hat - dyf(ke) * m.inv_dy_cf
+        v_hat = ixf(iyc(g.dx_cf * v)) * m.inv_dx_fc
+        q_at_u = (weno5_upwind_centers_from_faces(q, v_hat, axis=-2)
+                  if upwind_q else iyc(q))
+        ke = 0.5 * (ixc(u * u) + iyc(v * v))
+        Gu = q_at_u * v_hat - dxf(ke) * m.inv_dx_fc
+
+        u_hat = iyf(ixc(g.dy_fc * u)) * m.inv_dy_cf
+        q_at_v = (weno5_upwind_centers_from_faces(q, u_hat, axis=-1)
+                  if upwind_q else ixc(q))
+        Gv = -q_at_v * u_hat - dyf(ke) * m.inv_dy_cf
 
     # --- vertical momentum advection (advective form, centered)
     w = vertical_velocity(model, u, v)
@@ -610,12 +671,12 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     if m.drag_type == "linear":
         Gu = Gu - (m.drag_coeff / model.dz3) * u * model.bot_u
         Gv = Gv - (m.drag_coeff / model.dz3) * v * model.bot_v
-    elif m.drag_type == "quadratic":
+    elif m.drag_type == "quadratic" and not use_mom_kernel:  # kernel fuses this
         sp_u = jnp.sqrt(u * u + ixf(iyc(v)) ** 2)
         sp_v = jnp.sqrt(v * v + iyf(ixc(u)) ** 2)
         Gu = Gu - (m.drag_coeff / model.dz3) * sp_u * u * model.bot_u
         Gv = Gv - (m.drag_coeff / model.dz3) * sp_v * v * model.bot_v
-    if m.nu_h > 0.0:
+    if m.nu_h > 0.0 and not use_mom_kernel:  # kernel fuses this
         from ..ops.closures import laplacian_u, laplacian_v
 
         Gu = Gu + m.nu_h * laplacian_u(g, u, model.mask_u3, model.mask_c3)
@@ -642,9 +703,12 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
         if use_adv_kernel:
             from ..ops.pallas_adv import tracer_adv_pallas
 
+            # kappa_h's Laplacian rides in the same window (adv_k* planes) —
+            # the separate closure block below is skipped for the kernel path
             P3 = cq.reshape((-1,) + cq.shape[-2:])
             G = tracer_adv_pallas(P3, u, v, model.adv_au, model.adv_av,
-                                  model.adv_iv,
+                                  model.adv_iv, model.adv_ku, model.adv_kv,
+                                  model.adv_kc,
                                   interpret=_fill_interpret()).reshape(cq.shape)
         else:
             cx = tracer_faces(cq, u, axis=-1, scheme=m.tracer_advection)
@@ -656,7 +720,7 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
         if model.kappa_v > 0.0 and not model.vert_impl:
             G = G + model.kappa_v * _vertical_laplacian(cq, model.dz3, model.dzc3, model.mask_c3) \
                 * model.mask_c3
-        if m.kappa_h > 0.0:
+        if m.kappa_h > 0.0 and not use_adv_kernel:  # kernel path fuses this
             from ..ops.closures import laplacian_c
 
             G = G + m.kappa_h * laplacian_c(g, cq, model.mask_c3, model.mask_u3,

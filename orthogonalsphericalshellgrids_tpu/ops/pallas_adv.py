@@ -63,9 +63,14 @@ def _geometry(Yb, block_rows):
     return B, W, n_prog, n_prog * B
 
 
-def _kernel(c_ref, u_ref, v_ref, au_ref, av_ref, iv_ref, out_ref,
-            cbuf, ubuf, vbuf, aubuf, avbuf, ivbuf, gbuf, sems, *,
-            nz, B, W, Yb_pad, Xb):
+def _kernel(c_ref, u_ref, v_ref, au_ref, av_ref, iv_ref, *rest,
+            nz, B, W, Yb_pad, Xb, has_diff):
+    if has_diff:
+        (ku_ref, kv_ref, kc_ref, out_ref,
+         cbuf, ubuf, vbuf, aubuf, avbuf, ivbuf, kubuf, kvbuf, kcbuf, gbuf,
+         sems) = rest
+    else:
+        out_ref, cbuf, ubuf, vbuf, aubuf, avbuf, ivbuf, gbuf, sems = rest
     p = pl.program_id(0)   # tracer plane index
     j = pl.program_id(1)   # row block
     k = p % nz             # layer index for u/v/metric planes
@@ -81,6 +86,15 @@ def _kernel(c_ref, u_ref, v_ref, au_ref, av_ref, iv_ref, out_ref,
         pltpu.make_async_copy(av_ref.at[k, pl.ds(start, W), :], avbuf, sems.at[4]),
         pltpu.make_async_copy(iv_ref.at[k, pl.ds(start, W), :], ivbuf, sems.at[5]),
     ]
+    if has_diff:
+        copies += [
+            pltpu.make_async_copy(ku_ref.at[k, pl.ds(start, W), :], kubuf,
+                                  sems.at[6]),
+            pltpu.make_async_copy(kv_ref.at[k, pl.ds(start, W), :], kvbuf,
+                                  sems.at[7]),
+            pltpu.make_async_copy(kc_ref.at[k, pl.ds(start, W), :], kcbuf,
+                                  sems.at[8]),
+        ]
     for cp in copies:
         cp.start()
     for cp in copies:
@@ -137,24 +151,40 @@ def _kernel(c_ref, u_ref, v_ref, au_ref, av_ref, iv_ref, out_ref,
     fy = v * avbuf[...] * cy
     gy = rollp_y(fy) - fy                      # dyc
 
+    G = -(gx + gy) * ivbuf[...]
+
+    if has_diff:
+        # fused kappa_h Laplacian (ops/closures.laplacian_c with kappa and the
+        # face masks/metric ratios prefactored into ku/kv, inv-area*mask into
+        # kc): the window is already resident, the stencil reach (2) is far
+        # inside the overlap
+        gxd = (c - rollm_x(c)) * kubuf[...]          # dxf(c) at u faces
+        gyd = (c - rollm_y(c)) * kvbuf[...]          # dyf(c) at v faces
+        G = G + ((rollp_x(gxd) - gxd) + (rollp_y(gyd) - gyd)) * kcbuf[...]
+
     # dynamic_slice of a VALUE does not lower in Mosaic; stage through a VMEM
     # ref and slice the ref (pl.ds with the 8-aligned offset hint)
-    gbuf[...] = -(gx + gy) * ivbuf[...]
+    gbuf[...] = G
     out_ref[0] = gbuf[pl.ds(off, B), :]
 
 
-def tracer_adv_pallas(c, u, v, a_u, a_v, inv_vol, block_rows=None,
-                      interpret=False):
-    """Horizontal tracer-advection tendency, one Pallas pass.
+def tracer_adv_pallas(c, u, v, a_u, a_v, inv_vol, k_u=None, k_v=None, k_c=None,
+                      block_rows=None, interpret=False):
+    """Horizontal tracer-advection (+ optional fused kappa_h diffusion)
+    tendency, one Pallas pass.
 
     ``c``: (P, Yb, Xb) tracer planes (P = n_tracers * Nz); ``u``/``v``/
     ``a_u``/``a_v``/``inv_vol``: (Nz, Yb, Xb) per-layer velocity and static
-    factor planes — plane p uses layer p % Nz. All halo-filled. Returns the
-    (P, Yb, Xb) tendency; only cells with full-stencil validity (everything at
-    least 4 rows / 4 columns from the array edge — satisfied by every interior
-    cell at halo >= 5) are meaningful."""
+    factor planes — plane p uses layer p % Nz. Pass ``k_u``/``k_v``/``k_c``
+    (kappa*metric-ratio*face-mask at u/v faces; inv-area*mask at centers) to
+    also add the five-point Laplacian closure of ops/closures.laplacian_c in
+    the same window. All halo-filled. Returns the (P, Yb, Xb) tendency; only
+    cells with full-stencil validity (everything at least 4 rows / 4 columns
+    from the array edge — satisfied by every interior cell at halo >= 5) are
+    meaningful."""
     P, Yb, Xb = c.shape
     nz = u.shape[0]
+    has_diff = k_u is not None
     B0 = DEFAULT_BLOCK_ROWS_ADV if block_rows is None else block_rows
     B, W, n_prog, Yb_pad = _geometry(Yb, B0)
     Xb_pad = -128 * (-Xb // 128)
@@ -165,31 +195,38 @@ def tracer_adv_pallas(c, u, v, a_u, a_v, inv_vol, block_rows=None,
         return jnp.pad(a, ((0, 0), (0, Yb_pad - a.shape[-2]),
                            (0, Xb_pad - a.shape[-1])))
 
-    c_p, u_p, v_p, au_p, av_p, iv_p = (pad(a) for a in
-                                       (c, u, v, a_u, a_v, inv_vol))
+    operands = [pad(a) for a in (c, u, v, a_u, a_v, inv_vol)]
+    if has_diff:
+        operands += [pad(a) for a in (k_u, k_v, k_c)]
+    n_in = len(operands)
 
-    kern = functools.partial(_kernel, nz=nz, B=B, W=W, Yb_pad=Yb_pad, Xb=Xb_pad)
+    kern = functools.partial(_kernel, nz=nz, B=B, W=W, Yb_pad=Yb_pad,
+                             Xb=Xb_pad, has_diff=has_diff)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(P, n_prog),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=pl.BlockSpec((1, B, Xb_pad), lambda p, j: (p, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W, Xb_pad), c.dtype) for _ in range(7)]
-        + [pltpu.SemaphoreType.DMA((6,))],
+        scratch_shapes=[pltpu.VMEM((W, Xb_pad), c.dtype)
+                        for _ in range(n_in + 1)]
+        + [pltpu.SemaphoreType.DMA((n_in,))],
     )
     kwargs = {}
     if not interpret:
-        foot = (6 * W + B) * Xb_pad * jnp.dtype(c.dtype).itemsize
+        # working-set headroom: Mosaic's own temporaries for the WENO chain
+        # measured ~24 MB beyond the declared buffers at B=224 (the 9-operand
+        # fused-diffusion variant hit 38.64M total); 32 MB clears it with margin
+        foot = (n_in * W + B) * Xb_pad * jnp.dtype(c.dtype).itemsize
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=int(foot + 24 * 2**20))  # working-set headroom
+            vmem_limit_bytes=int(foot + 32 * 2**20))
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, Yb_pad, Xb_pad), c.dtype),
         interpret=interpret,
         **kwargs,
-    )(c_p, u_p, v_p, au_p, av_p, iv_p)
+    )(*operands)
     if (Yb_pad, Xb_pad) != (Yb, Xb):
         out = out[:, :Yb, :Xb]
     return out

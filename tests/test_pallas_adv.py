@@ -98,3 +98,37 @@ def test_tracer_adv_row_block_invariance():
     # different window widths compile to different programs -> contraction band
     np.testing.assert_allclose(a[I], b[I], rtol=2e-6,
                                atol=2e-6 * np.abs(a[I]).max())
+
+
+def test_tracer_adv_fused_diffusion():
+    """Fused kappa_h Laplacian (k_u/k_v/k_c planes) vs the XLA closure path."""
+    from orthogonalsphericalshellgrids_tpu.models.hydrostatic import _inv
+
+    dtype = jnp.float64
+    P, nz, Yb, Xb = 4, 2, 48, 64
+    c, u, v, au, av, iv = _mk(P, nz, Yb, Xb, dtype, seed=11)
+    rng = np.random.default_rng(12)
+    mu = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dtype)
+    mv = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dtype)
+    mc = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dtype)
+    ru = jnp.asarray(1.0 + rng.random((Yb, Xb)), dtype)
+    rv = jnp.asarray(1.0 + rng.random((Yb, Xb)), dtype)
+    az = jnp.asarray(1.0 + rng.random((Yb, Xb)), dtype)
+    kappa = 37.5
+
+    # XLA reference: advection + kappa * laplacian with the same factoring
+    adv = _xla_ref(c, u, v, au, av, iv, nz)
+    c4 = c.reshape(P // nz, nz, Yb, Xb)
+    from orthogonalsphericalshellgrids_tpu.ops.operators import (dxf, dyf)
+    gx = dxf(c4) * (kappa * ru * mu)
+    gy = dyf(c4) * (kappa * rv * mv)
+    lap = (dxc(gx) + dyc(gy)) * (_inv(az) * mc)
+    want = np.asarray(adv + lap.reshape(c.shape))
+
+    got = np.asarray(tracer_adv_pallas(
+        c, u, v, au, av, iv,
+        kappa * ru * mu, kappa * rv * mv, _inv(az) * mc,
+        interpret=True, block_rows=32))
+    I = (slice(None), slice(4, Yb - 4), slice(4, Xb - 4))
+    np.testing.assert_allclose(want[I], got[I], rtol=1e-12,
+                               atol=1e-12 * np.abs(want[I]).max())

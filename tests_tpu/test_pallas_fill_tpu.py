@@ -111,3 +111,25 @@ def test_tracer_adv_kernel_compiled():
     I = (slice(None), slice(4, Yb - 4), slice(4, Xb - 4))
     np.testing.assert_allclose(want[I], got[I], rtol=2e-6,
                                atol=2e-6 * np.abs(want[I]).max())
+
+
+def test_momentum_kernel_compiled():
+    """Compiled Mosaic lowering of the momentum kernel (adv + fused lap/drag)."""
+    from orthogonalsphericalshellgrids_tpu.ops.pallas_mom import momentum_pallas
+
+    rng = np.random.default_rng(3)
+    nz, Yb, Xb = 2, 120, 140
+    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
+    M = jnp.asarray(1.0 + rng.random((8, Yb, Xb)), jnp.float32)
+    lay = jnp.asarray(rng.random((nz, 8, Yb, Xb)), jnp.float32)
+
+    wu, wv = momentum_pallas(u, v, M, lay, has_lap=True, has_drag=True,
+                             interpret=True, block_rows=48)
+    gu, gv = jax.jit(lambda *a: momentum_pallas(
+        *a, has_lap=True, has_drag=True, block_rows=48))(u, v, M, lay)
+    I = (slice(None), slice(5, Yb - 5), slice(5, Xb - 5))
+    for want, got in ((wu, gu), (wv, gv)):
+        w = np.asarray(want)[I]
+        np.testing.assert_allclose(w, np.asarray(got)[I], rtol=2e-6,
+                                   atol=2e-6 * np.abs(w).max())
