@@ -103,6 +103,16 @@ class HydrostaticModel:
     baro_pack: Any
     # coriolis frequency at FF points (0 array when disabled)
     f_ff: Any
+    # VMEM-resident tendency-kernel operand packs (ops/pallas_mom.py,
+    # ops/pallas_adv.py): static metric stack, per-term mask/closure factor
+    # planes, prefactored tracer-flux factors (adv_k* None when kappa_h == 0)
+    mom_static: Any
+    mom_lay: Any
+    adv_au: Any
+    adv_av: Any
+    adv_ku: Any
+    adv_kv: Any
+    adv_kc: Any
     # kinematic surface wind stress at u/v points (0 arrays when disabled)
     taux: Any
     tauy: Any
@@ -112,6 +122,9 @@ class HydrostaticModel:
     g: float
     coriolis: bool
     use_pallas: bool
+    tend_kernels: bool  # route tendencies through the Pallas window kernels
+                        # (measured WIN at Nz>1, measured LOSS for the plain
+                        # single-layer benchmark config — see make_model)
     block_rows: int     # resolved barotropic-kernel row-block size (baro_pack is
                         # padded to it; the kernel call must use the same value)
     tracer_advection: str
@@ -137,10 +150,11 @@ _MODEL_ARRAYS = [
     "inv_dx_fc", "inv_dy_cf", "inv_az_ff", "inv_vol_c",
     "inv_dx_fc_e", "inv_dy_cf_e", "inv_az_cc_e", "dy_fc_e", "dx_cf_e",
     "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "f_ff",
+    "mom_static", "mom_lay", "adv_au", "adv_av", "adv_ku", "adv_kv", "adv_kc",
     "taux", "tauy",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
-               "block_rows",
+               "tend_kernels", "block_rows",
                "tracer_advection", "momentum_advection", "tracer_names", "forcing",
                "wind", "drag_type", "drag_coeff", "nu_h", "kappa_h", "nu4_h",
                "kappa4_h"]
@@ -266,6 +280,17 @@ def make_model(
     block_rows: int | None = None,  # barotropic Pallas kernel row-block override
                             # (default: ops/pallas_baro.auto_block_rows minimizes
                             # total processed rows under the VMEM budget)
+    tend_kernels: bool = False,  # opt-in: route the horizontal tendency slices
+                            # through the VMEM-resident Pallas window kernels.
+                            # NEGATIVE RESULT for the single-layer engine (kept
+                            # so it isn't retried): at the 1/4-degree benchmark
+                            # config the kernels measure 738 vs 653 us/step —
+                            # the XLA-fused tendencies are already issue-bound
+                            # at ~225 us and the per-window DMA of 10+ operand
+                            # planes costs more than the roll materialization
+                            # it avoids at Nz=1 with no closures. The LAYERED
+                            # engine (Nz>1, closures on) wins 18.1 -> ~14 ms
+                            # with the same kernels and defaults to them.
 ) -> HydrostaticModel:
     """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
     rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
@@ -392,6 +417,57 @@ def make_model(
         backend = jax.default_backend()
         use_pallas = backend not in ("cpu", "gpu")
 
+    # Operand packs for the VMEM-resident tendency kernels (ops/pallas_mom.py,
+    # ops/pallas_adv.py) — one fused jit, same rationale as _derived. The packs
+    # prefactor the per-term metric/mask products so the kernels read ready
+    # factors; Laplacian/drag planes only exist when those closures are active.
+    drag_q = bottom_drag is not None and bottom_drag[0] == "quadratic"
+
+    @jax.jit
+    def _kernel_packs(gm, mask_u, mask_v, mask_c, h_u, h_v,
+                      inv_az_ff_, f_ff_, inv_dx_fc_, inv_dy_cf_):
+        # gm: dict of the base-grid metric planes (passed as args, not closure-
+        # captured — captured arrays embed as HLO constants and bloat the
+        # remote-compile request)
+        from ..ops.closures import _ratio
+
+        mom_static = jnp.stack([
+            gm["dy_cf"], gm["dx_fc"], inv_az_ff_, f_ff_,
+            gm["dx_cf"], inv_dx_fc_, gm["dy_fc"], inv_dy_cf_])
+        lay = [mask_u, mask_v]
+        if nu_h > 0.0:
+            m_ff_u = mask_u * jnp.roll(mask_u, 1, axis=-2)
+            m_ff_v = mask_v * jnp.roll(mask_v, 1, axis=-1)
+            lay += [
+                nu_h * _ratio(gm["dy_cc"], gm["dx_cc"]) * mask_c,
+                nu_h * _ratio(gm["dx_ff"], gm["dy_ff"]) * m_ff_u,
+                _inv(gm["az_fc"]) * mask_u,
+                nu_h * _ratio(gm["dy_ff"], gm["dx_ff"]) * m_ff_v,
+                nu_h * _ratio(gm["dx_cc"], gm["dy_cc"]) * mask_c,
+                _inv(gm["az_cf"]) * mask_v,
+            ]
+        if drag_q:
+            cd = float(bottom_drag[1])
+            lay += [cd * _inv(h_u) * mask_u, cd * _inv(h_v) * mask_v]
+        mom_lay = jnp.stack(lay)
+        adv_au = h_u * gm["dy_fc"]
+        adv_av = h_v * gm["dx_cf"]
+        if kappa_h > 0.0:
+            adv_k = (kappa_h * _ratio(gm["dy_fc"], gm["dx_fc"]) * mask_u,
+                     kappa_h * _ratio(gm["dx_cf"], gm["dy_cf"]) * mask_v,
+                     _inv(gm["az_cc"]) * mask_c)
+        else:
+            adv_k = (None, None, None)
+        return mom_static, mom_lay, adv_au, adv_av, adv_k
+
+    _gm = {n: getattr(grid, n) for n in
+           ("dy_cf", "dx_fc", "dx_cf", "dy_fc", "dy_cc", "dx_cc", "dx_ff",
+            "dy_ff", "az_fc", "az_cf", "az_cc")}
+    (mom_static, mom_lay, adv_au, adv_av,
+     (adv_ku, adv_kv, adv_kc)) = _kernel_packs(
+        _gm, ib.mask_u, ib.mask_v, ib.mask_c, ib.h_u, ib.h_v,
+        inv_az_ff, f_ff, inv_dx_fc, inv_dy_cf)
+
     # kinematic wind stress sampled at the staggered velocity points (masked: no
     # stress on land)
     zero2 = jnp.zeros(grid.shape2d, dt)
@@ -433,11 +509,19 @@ def make_model(
         weights=jnp.asarray(free_surface.weights, dtype=dt),
         baro_pack=baro_pack,
         f_ff=f_ff,
+        mom_static=mom_static,
+        mom_lay=mom_lay,
+        adv_au=adv_au,
+        adv_av=adv_av,
+        adv_ku=adv_ku,
+        adv_kv=adv_kv,
+        adv_kc=adv_kc,
         substeps=free_surface.substeps,
         fractional_dt=float(free_surface.fractional_dt),
         g=float(free_surface.gravitational_acceleration),
         coriolis=coriolis,
         use_pallas=bool(use_pallas),
+        tend_kernels=bool(tend_kernels),
         block_rows=int(block_rows),
         tracer_advection=tracer_advection,
         momentum_advection=momentum_advection,
@@ -551,38 +635,72 @@ def tendencies(model: HydrostaticModel, u, v, c, t=0.0):
     g = model.grid
     ib = model.ib
 
-    zeta = vorticity(model, u, v)
-    q = zeta + model.f_ff if model.coriolis else zeta
-
     # vorticity reconstruction scheme (the reference's WENOVectorInvariant upwinds the
     # vorticity stencil; 'vector_invariant' uses centered/enstrophy-style interpolation)
     upwind_q = model.momentum_advection == "weno_vector_invariant"
+    # Opt-in (make_model(tend_kernels=True)): both horizontal tendency slices
+    # run as VMEM-resident Pallas window kernels (ops/pallas_mom.py,
+    # ops/pallas_adv.py) with the advective mask and the nu_h/kappa_h
+    # Laplacians + quadratic drag fused into the same windows — the
+    # corresponding XLA blocks below are skipped on that path. Default OFF for
+    # the single-layer engine (measured loss at the benchmark config — see
+    # make_model's tend_kernels note).
+    use_kernels = model.use_pallas and model.tend_kernels
+    use_mom_kernel = use_kernels and upwind_q
+    use_adv_kernel = use_kernels and model.tracer_advection == "weno5"
 
-    # --- u-equation (FC): + q̃ v̂ − δxᶠ(K)/Δxᶠᶜ
-    v_hat = ixf(iyc(g.dx_cf * v)) * model.inv_dx_fc
-    if upwind_q:
-        q_at_u = weno5_upwind_centers_from_faces(q, v_hat, axis=-2)
-    else:
-        q_at_u = iyc(q)
-    ke = 0.5 * (ixc(u * u) + iyc(v * v))
-    Gu = (q_at_u * v_hat - dxf(ke) * model.inv_dx_fc) * ib.mask_u
+    if use_mom_kernel:
+        from ..ops.pallas_mom import momentum_pallas
 
-    # --- v-equation (CF): − q̃ û − δyᶠ(K)/Δyᶜᶠ
-    u_hat = iyf(ixc(g.dy_fc * u)) * model.inv_dy_cf
-    if upwind_q:
-        q_at_v = weno5_upwind_centers_from_faces(q, u_hat, axis=-1)
+        drag_fused = model.drag_type == "quadratic"
+        Gu3, Gv3 = momentum_pallas(
+            u[None], v[None], model.mom_static, model.mom_lay,
+            has_mask=True, has_lap=model.nu_h > 0.0, has_drag=drag_fused,
+            interpret=_fill_interpret())
+        Gu, Gv = Gu3[0], Gv3[0]
     else:
-        q_at_v = ixc(q)
-    Gv = (-q_at_v * u_hat - dyf(ke) * model.inv_dy_cf) * ib.mask_v
+        drag_fused = False
+        zeta = vorticity(model, u, v)
+        q = zeta + model.f_ff if model.coriolis else zeta
+
+        # --- u-equation (FC): + q̃ v̂ − δxᶠ(K)/Δxᶠᶜ
+        v_hat = ixf(iyc(g.dx_cf * v)) * model.inv_dx_fc
+        if upwind_q:
+            q_at_u = weno5_upwind_centers_from_faces(q, v_hat, axis=-2)
+        else:
+            q_at_u = iyc(q)
+        ke = 0.5 * (ixc(u * u) + iyc(v * v))
+        Gu = (q_at_u * v_hat - dxf(ke) * model.inv_dx_fc) * ib.mask_u
+
+        # --- v-equation (CF): − q̃ û − δyᶠ(K)/Δyᶜᶠ
+        u_hat = iyf(ixc(g.dy_fc * u)) * model.inv_dy_cf
+        if upwind_q:
+            q_at_v = weno5_upwind_centers_from_faces(q, u_hat, axis=-1)
+        else:
+            q_at_v = ixc(q)
+        Gv = (-q_at_v * u_hat - dyf(ke) * model.inv_dy_cf) * ib.mask_v
 
     # --- tracer (CC): flux-form advection (WENO-5 upwind or centered, the reference's
     # FluxFormAdvection(WENO/Centered) options); transports carry the column depth so
     # the advected content is conserved against the free-surface divergence
-    cx = tracer_faces(c, u, axis=-1, scheme=model.tracer_advection)
-    cy = tracer_faces(c, v, axis=-2, scheme=model.tracer_advection)
-    fx = u * ib.h_u * g.dy_fc * cx
-    fy = v * ib.h_v * g.dx_cf * cy
-    Gc = -(dxc(fx) + dyc(fy)) * model.inv_vol_c
+    if use_adv_kernel:
+        from ..ops.pallas_adv import tracer_adv_pallas
+
+        c3 = c[None] if c.ndim == 2 else c
+        Gc = tracer_adv_pallas(
+            c3, u[None], v[None], model.adv_au[None], model.adv_av[None],
+            model.inv_vol_c[None],
+            None if model.adv_ku is None else model.adv_ku[None],
+            None if model.adv_kv is None else model.adv_kv[None],
+            None if model.adv_kc is None else model.adv_kc[None],
+            interpret=_fill_interpret())
+        Gc = Gc[0] if c.ndim == 2 else Gc
+    else:
+        cx = tracer_faces(c, u, axis=-1, scheme=model.tracer_advection)
+        cy = tracer_faces(c, v, axis=-2, scheme=model.tracer_advection)
+        fx = u * ib.h_u * g.dy_fc * cx
+        fy = v * ib.h_v * g.dx_cf * cy
+        Gc = -(dxc(fx) + dyc(fy)) * model.inv_vol_c
 
     # --- optional forcing / closures (compiled out when disabled — static flags).
     # In the depth-integrated configuration, surface stress and bottom drag act on the
@@ -596,17 +714,17 @@ def tendencies(model: HydrostaticModel, u, v, c, t=0.0):
         if model.drag_type == "linear":
             Gu = Gu - model.drag_coeff * u * inv_h_u * ib.mask_u
             Gv = Gv - model.drag_coeff * v * inv_h_v * ib.mask_v
-        elif model.drag_type == "quadratic":
+        elif model.drag_type == "quadratic" and not drag_fused:
             sp_u = jnp.sqrt(u * u + ixf(iyc(v)) ** 2)
             sp_v = jnp.sqrt(v * v + iyf(ixc(u)) ** 2)
             Gu = Gu - model.drag_coeff * sp_u * u * inv_h_u * ib.mask_u
             Gv = Gv - model.drag_coeff * sp_v * v * inv_h_v * ib.mask_v
-    if model.nu_h > 0.0:
+    if model.nu_h > 0.0 and not use_mom_kernel:  # kernel fuses this
         from ..ops.closures import laplacian_u, laplacian_v
 
         Gu = Gu + model.nu_h * laplacian_u(g, u, ib.mask_u, ib.mask_c)
         Gv = Gv + model.nu_h * laplacian_v(g, v, ib.mask_v, ib.mask_c)
-    if model.kappa_h > 0.0:
+    if model.kappa_h > 0.0 and not use_adv_kernel:  # kernel fuses this
         from ..ops.closures import laplacian_c
 
         Gc = Gc + model.kappa_h * laplacian_c(g, c, ib.mask_c, ib.mask_u, ib.mask_v)

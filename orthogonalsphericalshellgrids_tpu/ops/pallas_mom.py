@@ -58,7 +58,8 @@ def _geometry(Yb, block_rows):
     return B, W, n_prog, n_prog * B
 
 
-def _kernel(*args, n_static, n_lay, B, W, Yb_pad, Xb, has_lap, has_drag):
+def _kernel(*args, n_static, n_lay, B, W, Yb_pad, Xb, has_mask, has_lap,
+            has_drag):
     # args: [u_ref, v_ref, static_ref, lay_ref?] + [gu_out, gv_out] + scratch
     n_in = 3 + (1 if n_lay else 0)
     refs = args[:n_in]
@@ -156,6 +157,12 @@ def _kernel(*args, n_static, n_lay, B, W, Yb_pad, Xb, has_lap, has_drag):
     Gv = -q_at_v * u_hat - (ke - rmy(ke)) * sbuf[INV_DY_CF]
 
     li = 0
+    if has_mask:
+        # single-layer convention: the advective part is masked BEFORE the
+        # closures are added (models/hydrostatic.py:568,576)
+        Gu = Gu * lbuf[li]
+        Gv = Gv * lbuf[li + 1]
+        li += 2
     if has_lap:
         # free-slip Laplacians with prefactored planes (nu_h * ratio * mask):
         # lap_u: x-grad at CC (LU_C), y-grad at FF (LU_F), scale LU_S
@@ -184,22 +191,27 @@ def _kernel(*args, n_static, n_lay, B, W, Yb_pad, Xb, has_lap, has_drag):
     gv_out[0] = g2buf[pl.ds(off, B), :]
 
 
-def momentum_pallas(u, v, static_pack, lay_pack=None, has_lap=False,
-                    has_drag=False, block_rows=None, interpret=False):
+def momentum_pallas(u, v, static_pack, lay_pack=None, has_mask=False,
+                    has_lap=False, has_drag=False, block_rows=None,
+                    interpret=False):
     """Vector-invariant horizontal momentum tendencies (+ optional fused
     Laplacian closure and quadratic bottom drag), one Pallas pass.
 
     ``u``/``v``: (Nz, Yb, Xb) halo-filled velocities.
     ``static_pack``: (8, Yb, Xb) stacked 2-D metric planes
     [dy_cf, dx_fc, inv_az_ff, f_ff, dx_cf, inv_dx_fc, dy_fc, inv_dy_cf].
-    ``lay_pack``: (Nz, L, Yb, Xb) per-layer prefactored planes — with
-    ``has_lap`` the first 6 are [LU_C, LU_F, LU_S, LV_F, LV_C, LV_S]
+    ``lay_pack``: (Nz, L, Yb, Xb) (or flattened (Nz*L, Yb, Xb)) per-layer
+    prefactored planes, in order: with ``has_mask`` the first 2 are
+    [mask_u, mask_v] applied to the ADVECTIVE result before the closures
+    (the single-layer masking convention); with ``has_lap`` the next 6 are
+    [LU_C, LU_F, LU_S, LV_F, LV_C, LV_S]
     (nu_h*(dy_cc/dx_cc)*mask_c, nu_h*(dx_ff/dy_ff)*m_ff_u, inv(az_fc)*mask_u,
     nu_h*(dy_ff/dx_ff)*m_ff_v, nu_h*(dx_cc/dy_cc)*mask_c, inv(az_cf)*mask_v);
     with ``has_drag`` the last 2 are [Cd/dz*bot_u, Cd/dz*bot_v].
     Returns (Gu, Gv); cells within 5 rows/columns of the edge are garbage."""
     nz, Yb, Xb = u.shape
-    n_lay = (6 if has_lap else 0) + (2 if has_drag else 0)
+    n_lay = ((2 if has_mask else 0) + (6 if has_lap else 0)
+             + (2 if has_drag else 0))
     assert (lay_pack is None) == (n_lay == 0)
     B0 = DEFAULT_BLOCK_ROWS_MOM if block_rows is None else block_rows
     B, W, n_prog, Yb_pad = _geometry(Yb, B0)
@@ -219,8 +231,8 @@ def momentum_pallas(u, v, static_pack, lay_pack=None, has_lap=False,
         operands.append(pad(lay_pack))
 
     kern = functools.partial(_kernel, n_static=8, n_lay=n_lay, B=B, W=W,
-                             Yb_pad=Yb_pad, Xb=Xb_pad, has_lap=has_lap,
-                             has_drag=has_drag)
+                             Yb_pad=Yb_pad, Xb=Xb_pad, has_mask=has_mask,
+                             has_lap=has_lap, has_drag=has_drag)
     n_in = len(operands)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

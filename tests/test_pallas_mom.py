@@ -129,3 +129,47 @@ def test_momentum_block_invariance():
         np.testing.assert_allclose(np.asarray(x)[I], np.asarray(y)[I],
                                    rtol=2e-6,
                                    atol=2e-6 * np.abs(np.asarray(x)[I]).max())
+
+
+def test_single_layer_tendencies_kernel_path():
+    """models/hydrostatic.tendencies through the Pallas kernels (momentum with
+    fused mask/lap/drag + tracer with fused kappa_h) vs the XLA path, at
+    contraction-band tolerance on the interior."""
+    import dataclasses
+
+    import orthogonalsphericalshellgrids_tpu as osg
+    from orthogonalsphericalshellgrids_tpu.models import (
+        SplitExplicitFreeSurface, initial_state, make_model)
+    from orthogonalsphericalshellgrids_tpu.models import hydrostatic as H
+
+    grid = osg.TripolarGrid.make((48, 40, 1), dtype=jnp.float64,
+                                 first_pole_longitude=45.0,
+                                 north_poles_latitude=35.0)
+
+    def bottom(lam, phi):
+        return np.where(phi < -78, 1.0, 0.0)
+
+    model = make_model(grid, free_surface=SplitExplicitFreeSurface(substeps=8),
+                       bottom_height=bottom, use_pallas=False, coriolis=True,
+                       nu_h=50.0, kappa_h=20.0,
+                       bottom_drag=("quadratic", 2.5e-3), tracers=("T", "S"))
+    state = initial_state(
+        model,
+        u=lambda lam, phi: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        v=lambda lam, phi: 0.1 * np.sin(np.deg2rad(lam) * 3),
+        c={"T": lambda lam, phi: np.sin(np.deg2rad(lam)),
+           "S": lambda lam, phi: 35.0 + np.cos(np.deg2rad(phi))},
+    )
+    u = H._fill(grid, state.u, H.FC, -1)
+    v = H._fill(grid, state.v, H.CF, -1)
+    c = H._fill(grid, state.c, H.CC, 1)
+
+    want = H.tendencies(model, u, v, c)
+    got = H.tendencies(dataclasses.replace(model, use_pallas=True,
+                                           tend_kernels=True), u, v, c)
+    I2 = grid.interior2d
+    for w, g_, nm in zip(want, got, ("Gu", "Gv", "Gc")):
+        wi = np.asarray(w)[..., I2[0], I2[1]]
+        gi = np.asarray(g_)[..., I2[0], I2[1]]
+        np.testing.assert_allclose(wi, gi, rtol=1e-12,
+                                   atol=1e-12 * np.abs(wi).max(), err_msg=nm)
