@@ -850,9 +850,11 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
         if spmd is not None:
             fill_mode = "batch"
         else:
-            # serial default: aliased Pallas strip writes on TPU (measured ~3 ms/step
-            # cheaper than the XLA strip-write fills at 1/4 deg x 10 layers,
-            # docs/performance.md), XLA strip writes elsewhere
+            # serial default: aliased Pallas strip writes on TPU — bitwise-equal
+            # to the XLA fills at ~2% of their HBM traffic; part of the measured
+            # round-4 step reduction 26.4 -> 21.3 ms together with the single-
+            # window barotropic kernel (docs/performance.md, layered section).
+            # XLA strip writes elsewhere
             fill_mode = "pallas" if m.use_pallas else "per"
     if fill_mode not in ("pallas", "per", "batch"):
         raise ValueError(f"unknown fill_mode {fill_mode!r}; options: pallas|per|batch")
