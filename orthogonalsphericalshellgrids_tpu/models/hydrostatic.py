@@ -105,14 +105,10 @@ class HydrostaticModel:
     f_ff: Any
     # VMEM-resident tendency-kernel operand packs (ops/pallas_mom.py,
     # ops/pallas_adv.py): static metric stack, per-term mask/closure factor
-    # planes, prefactored tracer-flux factors (adv_k* None when kappa_h == 0)
+    # planes, and the layer-major tracer-flux factor pack (pack_adv_statics)
     mom_static: Any
     mom_lay: Any
-    adv_au: Any
-    adv_av: Any
-    adv_ku: Any
-    adv_kv: Any
-    adv_kc: Any
+    adv_pack: Any
     # kinematic surface wind stress at u/v points (0 arrays when disabled)
     taux: Any
     tauy: Any
@@ -150,7 +146,7 @@ _MODEL_ARRAYS = [
     "inv_dx_fc", "inv_dy_cf", "inv_az_ff", "inv_vol_c",
     "inv_dx_fc_e", "inv_dy_cf_e", "inv_az_cc_e", "dy_fc_e", "dx_cf_e",
     "h_u_e", "h_v_e", "mask_u_e", "mask_v_e", "weights", "baro_pack", "f_ff",
-    "mom_static", "mom_lay", "adv_au", "adv_av", "adv_ku", "adv_kv", "adv_kc",
+    "mom_static", "mom_lay", "adv_pack",
     "taux", "tauy",
 ]
 _MODEL_META = ["substeps", "fractional_dt", "g", "coriolis", "use_pallas",
@@ -425,7 +421,7 @@ def make_model(
 
     @jax.jit
     def _kernel_packs(gm, mask_u, mask_v, mask_c, h_u, h_v,
-                      inv_az_ff_, f_ff_, inv_dx_fc_, inv_dy_cf_):
+                      inv_az_ff_, f_ff_, inv_dx_fc_, inv_dy_cf_, inv_vol_c_):
         # gm: dict of the base-grid metric planes (passed as args, not closure-
         # captured — captured arrays embed as HLO constants and bloat the
         # remote-compile request)
@@ -450,23 +446,26 @@ def make_model(
             cd = float(bottom_drag[1])
             lay += [cd * _inv(h_u) * mask_u, cd * _inv(h_v) * mask_v]
         mom_lay = jnp.stack(lay)
-        adv_au = h_u * gm["dy_fc"]
-        adv_av = h_v * gm["dx_cf"]
+        from ..ops.pallas_adv import pack_adv_statics
+
+        iv = inv_vol_c_
         if kappa_h > 0.0:
-            adv_k = (kappa_h * _ratio(gm["dy_fc"], gm["dx_fc"]) * mask_u,
-                     kappa_h * _ratio(gm["dx_cf"], gm["dy_cf"]) * mask_v,
-                     _inv(gm["az_cc"]) * mask_c)
+            adv_pack = pack_adv_statics(
+                (h_u * gm["dy_fc"])[None], (h_v * gm["dx_cf"])[None], iv[None],
+                (kappa_h * _ratio(gm["dy_fc"], gm["dx_fc"]) * mask_u)[None],
+                (kappa_h * _ratio(gm["dx_cf"], gm["dy_cf"]) * mask_v)[None],
+                (_inv(gm["az_cc"]) * mask_c)[None])
         else:
-            adv_k = (None, None, None)
-        return mom_static, mom_lay, adv_au, adv_av, adv_k
+            adv_pack = pack_adv_statics(
+                (h_u * gm["dy_fc"])[None], (h_v * gm["dx_cf"])[None], iv[None])
+        return mom_static, mom_lay, adv_pack
 
     _gm = {n: getattr(grid, n) for n in
            ("dy_cf", "dx_fc", "dx_cf", "dy_fc", "dy_cc", "dx_cc", "dx_ff",
             "dy_ff", "az_fc", "az_cf", "az_cc")}
-    (mom_static, mom_lay, adv_au, adv_av,
-     (adv_ku, adv_kv, adv_kc)) = _kernel_packs(
+    mom_static, mom_lay, adv_pack = _kernel_packs(
         _gm, ib.mask_u, ib.mask_v, ib.mask_c, ib.h_u, ib.h_v,
-        inv_az_ff, f_ff, inv_dx_fc, inv_dy_cf)
+        inv_az_ff, f_ff, inv_dx_fc, inv_dy_cf, inv_vol_c)
 
     # kinematic wind stress sampled at the staggered velocity points (masked: no
     # stress on land)
@@ -511,11 +510,7 @@ def make_model(
         f_ff=f_ff,
         mom_static=mom_static,
         mom_lay=mom_lay,
-        adv_au=adv_au,
-        adv_av=adv_av,
-        adv_ku=adv_ku,
-        adv_kv=adv_kv,
-        adv_kc=adv_kc,
+        adv_pack=adv_pack,
         substeps=free_surface.substeps,
         fractional_dt=float(free_surface.fractional_dt),
         g=float(free_surface.gravitational_acceleration),
@@ -687,13 +682,9 @@ def tendencies(model: HydrostaticModel, u, v, c, t=0.0):
         from ..ops.pallas_adv import tracer_adv_pallas
 
         c3 = c[None] if c.ndim == 2 else c
-        Gc = tracer_adv_pallas(
-            c3, u[None], v[None], model.adv_au[None], model.adv_av[None],
-            model.inv_vol_c[None],
-            None if model.adv_ku is None else model.adv_ku[None],
-            None if model.adv_kv is None else model.adv_kv[None],
-            None if model.adv_kc is None else model.adv_kc[None],
-            interpret=_fill_interpret())
+        Gc = tracer_adv_pallas(c3, u[None], v[None],
+                               statics_packed=model.adv_pack,
+                               interpret=_fill_interpret())
         Gc = Gc[0] if c.ndim == 2 else Gc
     else:
         cx = tracer_faces(c, u, axis=-1, scheme=model.tracer_advection)

@@ -42,6 +42,7 @@ import numpy as np
 from ..grids.tripolar import TripolarGrid
 from ..ops import zipper
 from ..ops.closures import _ratio as _cratio
+from ..ops.pallas_adv import pack_adv_statics as _adv_pack
 from ..ops.advection import (centered_faces_from_centers, tracer_faces,
                              weno5_upwind_centers_from_faces,
                              weno5_upwind_faces_from_centers)
@@ -103,15 +104,11 @@ class LayeredModel:
     # deepest-wet-layer indicator masks (bottom drag acts there)
     bot_u: Any
     bot_v: Any
-    # prefactored static planes for the VMEM-resident tracer-advection kernel
-    # (ops/pallas_adv.py): A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask/(az*dz);
-    # adv_k* carry the fused kappa_h Laplacian factors (None when kappa_h == 0)
-    adv_au: Any
-    adv_av: Any
-    adv_iv: Any
-    adv_ku: Any
-    adv_kv: Any
-    adv_kc: Any
+    # prefactored static planes for the VMEM-resident tracer-advection kernel,
+    # stacked layer-major by ops/pallas_adv.pack_adv_statics: per layer
+    # [A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask/(az*dz)] (+ the fused
+    # kappa_h Laplacian factors [K_u, K_v, K_c] when kappa_h > 0)
+    adv_pack: Any
     # momentum-kernel operand packs (ops/pallas_mom.py): (8, Yb, Xb) static
     # metric planes; (Nz, L, Yb, Xb) per-layer Laplacian/drag factors (or None)
     mom_static: Any
@@ -166,8 +163,7 @@ for _cls, _data, _meta in [
     (LayeredState, [f.name for f in dataclasses.fields(LayeredState)], []),
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
-      "bot_u", "bot_v", "adv_au", "adv_av", "adv_iv", "adv_ku", "adv_kv",
-      "adv_kc", "mom_static", "mom_lay"],
+      "bot_u", "bot_v", "adv_pack", "mom_static", "mom_lay"],
      ["nz", "dz", "dzc", "zc", "forcing", "buoyancy", "kappa_v", "nu_v", "vert_impl",
       "tracer_names", "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
@@ -326,14 +322,15 @@ def make_layered_model(
         mom_lay=mom_lay,
         dzu=dzu,
         dzv=dzv,
-        adv_au=dzu * grid.dy_fc,
-        adv_av=dzv * grid.dx_cf,
-        adv_iv=mask_c3 * _inv(grid.az_cc * dz3),
-        adv_ku=(kappa_h * _cratio(grid.dy_fc, grid.dx_fc) * mask_u3
-                if kappa_h > 0.0 else None),
-        adv_kv=(kappa_h * _cratio(grid.dx_cf, grid.dy_cf) * mask_v3
-                if kappa_h > 0.0 else None),
-        adv_kc=(_inv(grid.az_cc) * mask_c3 if kappa_h > 0.0 else None),
+        adv_pack=_adv_pack(
+            dzu * grid.dy_fc,
+            dzv * grid.dx_cf,
+            mask_c3 * _inv(grid.az_cc * dz3),
+            (kappa_h * _cratio(grid.dy_fc, grid.dx_fc) * mask_u3
+             if kappa_h > 0.0 else None),
+            (kappa_h * _cratio(grid.dx_cf, grid.dy_cf) * mask_v3
+             if kappa_h > 0.0 else None),
+            (_inv(grid.az_cc) * mask_c3 if kappa_h > 0.0 else None)),
         inv_h_u=_inv(jnp.sum(dzu, axis=0)),
         inv_h_v=_inv(jnp.sum(dzv, axis=0)),
         nz=nz,
@@ -703,12 +700,10 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
         if use_adv_kernel:
             from ..ops.pallas_adv import tracer_adv_pallas
 
-            # kappa_h's Laplacian rides in the same window (adv_k* planes) —
-            # the separate closure block below is skipped for the kernel path
+            # kappa_h's Laplacian rides in the same window (packed factor
+            # planes) — the separate closure block below is skipped here
             P3 = cq.reshape((-1,) + cq.shape[-2:])
-            G = tracer_adv_pallas(P3, u, v, model.adv_au, model.adv_av,
-                                  model.adv_iv, model.adv_ku, model.adv_kv,
-                                  model.adv_kc,
+            G = tracer_adv_pallas(P3, u, v, statics_packed=model.adv_pack,
                                   interpret=_fill_interpret()).reshape(cq.shape)
         else:
             cx = tracer_faces(cq, u, axis=-1, scheme=m.tracer_advection)

@@ -1,37 +1,34 @@
-"""Pallas TPU kernel: horizontal flux-form tracer advection, VMEM-resident.
+"""Pallas TPU kernel: horizontal flux-form tracer advection, VMEM-resident,
+double-buffered.
 
 The layered tendency path is memory-bound (docs/performance.md): the XLA-fused
-tracer slice materializes its `jnp.roll` stencil shifts through fusion boundaries,
-paying full-array HBM round-trips per intermediate, and `benchmarks/weno_sol.py`
-measures the in-VMEM WENO-5 reconstruction rate at ~2x the XLA-fused rate. The
-round-2 negative result (a fully fused 21-plane tendency mega-kernel, measured
-slower) pinned the realizable shape: NARROW kernels with few planes resident.
-This is that kernel for the tracer x+y slice:
+tracer slice materializes its `jnp.roll` stencil shifts through fusion
+boundaries, and `benchmarks/weno_sol.py` measures the in-VMEM WENO-5
+reconstruction at its analytic op-mix bound. This kernel computes, per tracer
+plane,
 
     cx = weno5_upwind_faces_from_centers(c, u, axis=-1)
     cy = weno5_upwind_faces_from_centers(c, v, axis=-2)
-    G  = -(dxc(u*A_u*cx) + dyc(v*A_v*cy)) * IV        [models/layered.py:627-632]
+    G  = -(dxc(u*A_u*cx) + dyc(v*A_v*cy)) * IV        [models/layered.py tracer slice]
+    (+ optionally the kappa_h five-point Laplacian with prefactored planes)
 
-per tracer plane, with A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask*inv(az*dz)
-precomputed per layer (step-invariant; models/layered.make_layered_model). Six
-input planes -> one output plane, ~7 resident windows.
+with A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask*inv(az*dz) prefactored per
+layer and STACKED layer-major at model build (``pack_adv_statics``), so the hot
+path DMAs ready factors.
 
-Window geometry (the pallas_baro pattern): grid = (n_planes, n_row_blocks); each
-program DMAs a (B + 16)-row window of the six inputs into VMEM (8 alignment rows
-each side cover the radius-4 y stencil), computes with `pltpu.roll` in x and
-STATIC row slices in y, and writes the B-row output block. Row padding to
-n_prog*B rows keeps the clipped window starts sublane-aligned (provable via
-`pl.multiple_of`). Values match the XLA path: identical op order (the kernel
-calls the same `_weno5_left`), only the shift implementation differs — parity is
-pinned in tests/test_pallas_adv.py (bitwise in interpret mode; the compiled
-kernel may differ from the XLA fusion by FMA-contraction rounding, same band as
-the barotropic kernel's pin).
+Round-4 pipeline redesign (v2): a micro-probe showed the v1 design — grid over
+(planes, row-blocks) with synchronous per-program window DMA — serializes DMA
+against compute (9-window DMA alone costs ~1.9 ms/pass at the 1/4-degree x 10
+geometry; with compute they ADD). v2 makes the grid (Nz,) and runs the row
+blocks as an in-kernel ``fori_loop`` with TWO buffer slots: block j+1's windows
+are fetched while block j computes, and finished blocks are written back by
+async copies that only block when their slot is reused. All tracers of a layer
+share one pass (u/v/static windows loaded once per layer, not once per tracer).
 
-Validity: output rows/columns within the stencil radius of the array edge read
-x-wrap/zero padding and are NOT meaningful — exactly the usual halo contract
-(the models only consume interior tendency cells; halo cells of G are recomputed
-from refilled fields next step). Reference workload context:
-`/root/reference/examples/bickley_jet.jl:48` (WENO-5 flux-form tracer).
+Shifts are `pltpu.roll` in both axes (y reach 4 < 8 overlap rows; window starts
+8-aligned by construction). Validity: cells within the stencil radius of the
+array edge are garbage — the usual halo contract. Parity pinned in
+tests/test_pallas_adv.py (contraction-band tolerances).
 """
 
 from __future__ import annotations
@@ -45,10 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .advection import _weno5_left
 
-__all__ = ["tracer_adv_pallas", "DEFAULT_BLOCK_ROWS_ADV"]
+__all__ = ["tracer_adv_pallas", "pack_adv_statics", "DEFAULT_BLOCK_ROWS_ADV"]
 
-DEFAULT_BLOCK_ROWS_ADV = 224
-_OV = 8  # alignment rows each side (covers the radius-4 stencil, sublane multiple)
+DEFAULT_BLOCK_ROWS_ADV = 104
+_OV = 8
 
 
 def _geometry(Yb, block_rows):
@@ -63,128 +60,136 @@ def _geometry(Yb, block_rows):
     return B, W, n_prog, n_prog * B
 
 
-def _kernel(c_ref, u_ref, v_ref, au_ref, av_ref, iv_ref, *rest,
-            nz, B, W, Yb_pad, Xb, has_diff):
-    if has_diff:
-        (ku_ref, kv_ref, kc_ref, out_ref,
-         cbuf, ubuf, vbuf, aubuf, avbuf, ivbuf, kubuf, kvbuf, kcbuf, gbuf,
-         sems) = rest
-    else:
-        out_ref, cbuf, ubuf, vbuf, aubuf, avbuf, ivbuf, gbuf, sems = rest
-    p = pl.program_id(0)   # tracer plane index
-    j = pl.program_id(1)   # row block
-    k = p % nz             # layer index for u/v/metric planes
-    start = jnp.clip(j * B - _OV, 0, Yb_pad - W)
-    start = pl.multiple_of(start, 8)
-    off = pl.multiple_of(j * B - start, 8)
+def pack_adv_statics(a_u, a_v, inv_vol, k_u=None, k_v=None, k_c=None):
+    """Stack the per-layer static factor planes layer-major:
+    (Nz*S, Yb, Xb) with plane k*S+i = layer k's i-th factor, S = 3 or 6.
+    Call once at model build — the kernel DMAs one contiguous slab per layer."""
+    parts = [a_u, a_v, inv_vol] + ([k_u, k_v, k_c] if k_u is not None else [])
+    nz = a_u.shape[0]
+    return jnp.concatenate(
+        [jnp.stack([p[k] for p in parts]) for k in range(nz)])
 
-    copies = [
-        pltpu.make_async_copy(c_ref.at[p, pl.ds(start, W), :], cbuf, sems.at[0]),
-        pltpu.make_async_copy(u_ref.at[k, pl.ds(start, W), :], ubuf, sems.at[1]),
-        pltpu.make_async_copy(v_ref.at[k, pl.ds(start, W), :], vbuf, sems.at[2]),
-        pltpu.make_async_copy(au_ref.at[k, pl.ds(start, W), :], aubuf, sems.at[3]),
-        pltpu.make_async_copy(av_ref.at[k, pl.ds(start, W), :], avbuf, sems.at[4]),
-        pltpu.make_async_copy(iv_ref.at[k, pl.ds(start, W), :], ivbuf, sems.at[5]),
-    ]
-    if has_diff:
-        copies += [
-            pltpu.make_async_copy(ku_ref.at[k, pl.ds(start, W), :], kubuf,
-                                  sems.at[6]),
-            pltpu.make_async_copy(kv_ref.at[k, pl.ds(start, W), :], kvbuf,
-                                  sems.at[7]),
-            pltpu.make_async_copy(kc_ref.at[k, pl.ds(start, W), :], kcbuf,
-                                  sems.at[8]),
-        ]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
-        cp.wait()
 
-    # Shifts are circular rolls — identical to the XLA path's jnp.roll semantics
-    # in x (halo-filled wrap) and edge-garbage-in-the-discarded-overlap in y
-    # (total y reach 4 < _OV = 8, so output rows never see the wrap rows).
-    def rollm_x(a, n=1):   # a[i-n]
+def _kernel(c_ref, u_ref, v_ref, s_ref, out_ref,
+            cbuf, ubuf, vbuf, sbuf, gbuf, in_sems, out_sems, *,
+            nz, n_tr, S, B, W, n_prog, Yb_pad, Xb, has_diff):
+    k = pl.program_id(0)
+
+    # row-block geometry is STATIC (n_prog known at trace time): starts/offsets
+    # are Python ints, so every slice below is provably aligned
+    def _start(j):
+        return min(max(j * B - _OV, 0), Yb_pad - W)
+
+    def in_dmas(j, slot):
+        rows = pl.ds(_start(j), W)
+        dmas = [pltpu.make_async_copy(u_ref.at[k, rows, :], ubuf.at[slot],
+                                      in_sems.at[slot, 0]),
+                pltpu.make_async_copy(v_ref.at[k, rows, :], vbuf.at[slot],
+                                      in_sems.at[slot, 1]),
+                pltpu.make_async_copy(s_ref.at[pl.ds(k * S, S), rows, :],
+                                      sbuf.at[slot], in_sems.at[slot, 2])]
+        for t in range(n_tr):
+            dmas.append(pltpu.make_async_copy(
+                c_ref.at[t * nz + k, rows, :], cbuf.at[slot, t],
+                in_sems.at[slot, 3 + t]))
+        return dmas
+
+    def out_dma(j, slot, t):
+        off = j * B - _start(j)
+        return pltpu.make_async_copy(
+            gbuf.at[slot, t, pl.ds(off, B), :],
+            out_ref.at[t * nz + k, pl.ds(j * B, B), :],
+            out_sems.at[slot, t])
+
+    def rollm_x(a, n=1):
         return pltpu.roll(a, n, 1)
 
-    def rollp_x(a, n=1):   # a[i+n]
+    def rollp_x(a, n=1):
         return pltpu.roll(a, Xb - n, 1)
 
-    def rollm_y(a, n=1):   # a[j-n]
+    def rollm_y(a, n=1):
         return pltpu.roll(a, n, 0)
 
-    def rollp_y(a, n=1):   # a[j+n]
+    def rollp_y(a, n=1):
         return pltpu.roll(a, W - n, 0)
 
-    c = cbuf[...]
-    u = ubuf[...]
-    v = vbuf[...]
+    def weno_faces(c, pos, rm, rp):
+        def sel(a, b):
+            return jnp.where(pos, a, b)
 
-    # --- x faces: upwind WENO-5 on input-selected taps (advection.py:112-131)
-    pos = u > 0.0
+        m1 = rm(c)
+        m2 = rm(c, 2)
+        m3 = rm(c, 3)
+        p1 = rp(c)
+        p2 = rp(c, 2)
+        return _weno5_left(sel(m3, p2), sel(m2, p1), sel(m1, c), sel(c, m1),
+                           sel(p1, m2))
 
-    def sel(a, b):
-        return jnp.where(pos, a, b)
+    for d in in_dmas(0, 0):
+        d.start()
 
-    cm1 = rollm_x(c)
-    cm2 = rollm_x(c, 2)
-    cm3 = rollm_x(c, 3)
-    cp1 = rollp_x(c)
-    cp2 = rollp_x(c, 2)
-    cx = _weno5_left(sel(cm3, cp2), sel(cm2, cp1), sel(cm1, c), sel(c, cm1),
-                     sel(cp1, cm2))
-    fx = u * aubuf[...] * cx
-    gx = rollp_x(fx) - fx                      # dxc
+    for j in range(n_prog):  # static unroll: double-buffered row pipeline
+        slot = j % 2
+        if j + 1 < n_prog:
+            for d in in_dmas(j + 1, (j + 1) % 2):
+                d.start()
+        for d in in_dmas(j, slot):
+            d.wait()
 
-    # --- y faces: same reconstruction along the sublane axis
-    pos_y = v > 0.0
+        u = ubuf[slot]
+        v = vbuf[slot]
+        pos_x = u > 0.0
+        pos_y = v > 0.0
+        AU, AV, IV = 0, 1, 2
+        for t in range(n_tr):
+            c = cbuf[slot, t]
+            cx = weno_faces(c, pos_x, rollm_x, rollp_x)
+            fx = u * sbuf[slot, AU] * cx
+            gx = rollp_x(fx) - fx
+            cy = weno_faces(c, pos_y, rollm_y, rollp_y)
+            fy = v * sbuf[slot, AV] * cy
+            gy = rollp_y(fy) - fy
+            G = -(gx + gy) * sbuf[slot, IV]
+            if has_diff:
+                KU, KV, KC = 3, 4, 5
+                gxd = (c - rollm_x(c)) * sbuf[slot, KU]
+                gyd = (c - rollm_y(c)) * sbuf[slot, KV]
+                G = G + ((rollp_x(gxd) - gxd) + (rollp_y(gyd) - gyd)) \
+                    * sbuf[slot, KC]
 
-    def sely(a, b):
-        return jnp.where(pos_y, a, b)
+            # the slot's previous output copy must have drained before reuse
+            if j >= 2:
+                out_dma(j - 2, slot, t).wait()
+            gbuf[slot, t] = G
+            out_dma(j, slot, t).start()
 
-    ym1 = rollm_y(c)
-    ym2 = rollm_y(c, 2)
-    ym3 = rollm_y(c, 3)
-    yp1 = rollp_y(c)
-    yp2 = rollp_y(c, 2)
-    cy = _weno5_left(sely(ym3, yp2), sely(ym2, yp1), sely(ym1, c), sely(c, ym1),
-                     sely(yp1, ym2))
-    fy = v * avbuf[...] * cy
-    gy = rollp_y(fy) - fy                      # dyc
-
-    G = -(gx + gy) * ivbuf[...]
-
-    if has_diff:
-        # fused kappa_h Laplacian (ops/closures.laplacian_c with kappa and the
-        # face masks/metric ratios prefactored into ku/kv, inv-area*mask into
-        # kc): the window is already resident, the stencil reach (2) is far
-        # inside the overlap
-        gxd = (c - rollm_x(c)) * kubuf[...]          # dxf(c) at u faces
-        gyd = (c - rollm_y(c)) * kvbuf[...]          # dyf(c) at v faces
-        G = G + ((rollp_x(gxd) - gxd) + (rollp_y(gyd) - gyd)) * kcbuf[...]
-
-    # dynamic_slice of a VALUE does not lower in Mosaic; stage through a VMEM
-    # ref and slice the ref (pl.ds with the 8-aligned offset hint)
-    gbuf[...] = G
-    out_ref[0] = gbuf[pl.ds(off, B), :]
+    # drain the tail output copies
+    for j in range(max(n_prog - 2, 0), n_prog):
+        for t in range(n_tr):
+            out_dma(j, j % 2, t).wait()
 
 
-def tracer_adv_pallas(c, u, v, a_u, a_v, inv_vol, k_u=None, k_v=None, k_c=None,
-                      block_rows=None, interpret=False):
+def tracer_adv_pallas(c, u, v, a_u=None, a_v=None, inv_vol=None, k_u=None,
+                      k_v=None, k_c=None, statics_packed=None, block_rows=None,
+                      interpret=False):
     """Horizontal tracer-advection (+ optional fused kappa_h diffusion)
-    tendency, one Pallas pass.
+    tendency, one double-buffered Pallas pass.
 
-    ``c``: (P, Yb, Xb) tracer planes (P = n_tracers * Nz); ``u``/``v``/
-    ``a_u``/``a_v``/``inv_vol``: (Nz, Yb, Xb) per-layer velocity and static
-    factor planes — plane p uses layer p % Nz. Pass ``k_u``/``k_v``/``k_c``
-    (kappa*metric-ratio*face-mask at u/v faces; inv-area*mask at centers) to
-    also add the five-point Laplacian closure of ops/closures.laplacian_c in
-    the same window. All halo-filled. Returns the (P, Yb, Xb) tendency; only
-    cells with full-stencil validity (everything at least 4 rows / 4 columns
-    from the array edge — satisfied by every interior cell at halo >= 5) are
-    meaningful."""
+    ``c``: (P, Yb, Xb) tracer planes (P = n_tracers * Nz, tracer-major:
+    plane t*Nz + k is tracer t at layer k); ``u``/``v``: (Nz, Yb, Xb).
+    Static factors: either the separate per-layer planes ``a_u``/``a_v``/
+    ``inv_vol`` (+ ``k_u``/``k_v``/``k_c`` for the fused Laplacian) or a
+    pre-stacked ``statics_packed`` from :func:`pack_adv_statics` (preferred —
+    zero stacking cost on the hot path). All halo-filled. Returns the
+    (P, Yb, Xb) tendency; only cells with full-stencil validity (>= 4 rows /
+    columns from the array edge) are meaningful."""
     P, Yb, Xb = c.shape
     nz = u.shape[0]
-    has_diff = k_u is not None
+    assert P % nz == 0, (P, nz)
+    n_tr = P // nz
+    has_diff = (k_u is not None) or (
+        statics_packed is not None and statics_packed.shape[0] == 6 * nz)
+    S = 6 if has_diff else 3
     B0 = DEFAULT_BLOCK_ROWS_ADV if block_rows is None else block_rows
     B, W, n_prog, Yb_pad = _geometry(Yb, B0)
     Xb_pad = -128 * (-Xb // 128)
@@ -195,29 +200,31 @@ def tracer_adv_pallas(c, u, v, a_u, a_v, inv_vol, k_u=None, k_v=None, k_c=None,
         return jnp.pad(a, ((0, 0), (0, Yb_pad - a.shape[-2]),
                            (0, Xb_pad - a.shape[-1])))
 
-    operands = [pad(a) for a in (c, u, v, a_u, a_v, inv_vol)]
-    if has_diff:
-        operands += [pad(a) for a in (k_u, k_v, k_c)]
-    n_in = len(operands)
+    if statics_packed is None:
+        statics_packed = pack_adv_statics(a_u, a_v, inv_vol, k_u, k_v, k_c)
+    operands = [pad(c), pad(u), pad(v), pad(statics_packed)]
 
-    kern = functools.partial(_kernel, nz=nz, B=B, W=W, Yb_pad=Yb_pad,
-                             Xb=Xb_pad, has_diff=has_diff)
+    kern = functools.partial(_kernel, nz=nz, n_tr=n_tr, S=S, B=B, W=W,
+                             n_prog=n_prog, Yb_pad=Yb_pad, Xb=Xb_pad,
+                             has_diff=has_diff)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(P, n_prog),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=pl.BlockSpec((1, B, Xb_pad), lambda p, j: (p, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W, Xb_pad), c.dtype)
-                        for _ in range(n_in + 1)]
-        + [pltpu.SemaphoreType.DMA((n_in,))],
+        grid=(nz,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_tr, W, Xb_pad), c.dtype),   # c windows
+            pltpu.VMEM((2, W, Xb_pad), c.dtype),         # u
+            pltpu.VMEM((2, W, Xb_pad), c.dtype),         # v
+            pltpu.VMEM((2, S, W, Xb_pad), c.dtype),      # statics slab
+            pltpu.VMEM((2, n_tr, W, Xb_pad), c.dtype),   # G staging
+            pltpu.SemaphoreType.DMA((2, 3 + n_tr)),
+            pltpu.SemaphoreType.DMA((2, n_tr)),
+        ],
     )
     kwargs = {}
     if not interpret:
-        # working-set headroom: Mosaic's own temporaries for the WENO chain
-        # measured ~24 MB beyond the declared buffers at B=224 (the 9-operand
-        # fused-diffusion variant hit 38.64M total); 32 MB clears it with margin
-        foot = (n_in * W + B) * Xb_pad * jnp.dtype(c.dtype).itemsize
+        foot = 2 * (2 * n_tr + 2 + S) * W * Xb_pad * jnp.dtype(c.dtype).itemsize
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(foot + 32 * 2**20))
     out = pl.pallas_call(

@@ -55,8 +55,7 @@ _MODEL_FIELDS = {
 _LAYERED_FIELDS = {
     "mask_c3": BASE, "mask_u3": BASE, "mask_v3": BASE,
     "dzu": BASE, "dzv": BASE,
-    "adv_au": BASE, "adv_av": BASE, "adv_iv": BASE,
-    "adv_ku": BASE, "adv_kv": BASE, "adv_kc": BASE,
+    "adv_pack": BASE,
     "mom_static": BASE, "mom_lay": BASE,
     "inv_h_u": BASE, "inv_h_v": BASE,
     "bot_u": BASE, "bot_v": BASE,
