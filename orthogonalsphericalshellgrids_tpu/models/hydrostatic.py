@@ -918,6 +918,9 @@ def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=No
             model.baro_pack, eta, U, V, GU, GV, dtau, model.weights,
             ge.Nx, ge.Hx, block_rows=model.block_rows, dpack=dpack,
             wrap_x_each_substep=wrap_x_each_substep,
+            interpret=_fill_interpret(),  # CPU runs (use_pallas forced on in
+            # tests) execute the kernel in interpret mode, like the fill/window
+            # kernels — on TPU this is the compiled Mosaic path
         )
     dtau = model.fractional_dt * dt
     gH_u = model.g * model.h_u_e

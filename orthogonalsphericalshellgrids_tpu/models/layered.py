@@ -113,6 +113,11 @@ class LayeredModel:
     # metric planes; (Nz, L, Yb, Xb) per-layer Laplacian/drag factors (or None)
     mom_static: Any
     mom_lay: Any
+    # z-resident column-kernel operand packs (ops/pallas_vert.py): layer-major
+    # (Nz*S, Yb, Xb) [Au, Av, mask_c (, mask_u, mask_v)] + (3, Yb, Xb) globals
+    # [inv_az_cc, inv_dx_fc, inv_dy_cf]
+    vert_pack: Any
+    vert_g: Any
     # static metadata
     nz: int
     dz: tuple        # per-layer thickness [m], surface-first (uniform -> equal entries)
@@ -163,7 +168,7 @@ for _cls, _data, _meta in [
     (LayeredState, [f.name for f in dataclasses.fields(LayeredState)], []),
     (LayeredModel,
      ["baro", "mask_c3", "mask_u3", "mask_v3", "dzu", "dzv", "inv_h_u", "inv_h_v",
-      "bot_u", "bot_v", "adv_pack", "mom_static", "mom_lay"],
+      "bot_u", "bot_v", "adv_pack", "mom_static", "mom_lay", "vert_pack", "vert_g"],
      ["nz", "dz", "dzc", "zc", "forcing", "buoyancy", "kappa_v", "nu_v", "vert_impl",
       "tracer_names", "g_b", "alpha_T", "beta_S", "T0", "S0"]),
 ]:
@@ -311,6 +316,19 @@ def make_layered_model(
                                 for k in range(nz)])
                if lay_parts else None)
 
+    # z-resident column-kernel packs (ops/pallas_vert.py): the u/v mask planes
+    # ride only when the explicit vertical viscosity needs them (S = 5)
+    from ..ops.pallas_vert import pack_vert_statics as _vert_pack_fn
+
+    vert_impl = vertical_time_discretization == "implicit"
+    a_u3 = dz3 * mask_u3 * grid.dy_fc  # == dzu * dy_fc (adv_pack's A_u)
+    a_v3 = dz3 * mask_v3 * grid.dx_cf
+    if nu_v > 0.0 and not vert_impl:
+        vert_pack = _vert_pack_fn(a_u3, a_v3, mask_c3, mask_u3, mask_v3)
+    else:
+        vert_pack = _vert_pack_fn(a_u3, a_v3, mask_c3)
+    vert_g = jnp.stack([_inv(grid.az_cc), baro.inv_dx_fc, baro.inv_dy_cf])
+
     return LayeredModel(
         baro=baro,
         mask_c3=mask_c3,
@@ -322,6 +340,8 @@ def make_layered_model(
         mom_lay=mom_lay,
         dzu=dzu,
         dzv=dzv,
+        vert_pack=vert_pack,
+        vert_g=vert_g,
         adv_pack=_adv_pack(
             dzu * grid.dy_fc,
             dzv * grid.dx_cf,
@@ -640,25 +660,54 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
                   if upwind_q else ixc(q))
         Gv = -q_at_v * u_hat - dyf(ke) * m.inv_dy_cf
 
-    # --- vertical momentum advection (advective form, centered)
-    w = vertical_velocity(model, u, v)
-    Gu = Gu - _w_advect(ixf(w), u, model.dzc3)
-    Gv = Gv - _w_advect(iyf(w), v, model.dzc3)
+    # --- layer-coupled vertical terms: interface velocity w, advective
+    # w-transport, baroclinic pressure gradient (p = -∫ b dz with b from the
+    # prognostic BuoyancyTracer or the T/S linear EOS), and the explicit
+    # vertical Laplacians. On TPU the whole slice runs as ONE z-resident
+    # Pallas column pass (ops/pallas_vert.py) — w, p and every interface flux
+    # stay in VMEM; the XLA formulation below is the oracle path (parity
+    # pinned in tests/test_pallas_vert.py and tests_tpu/).
+    use_vert_kernel = m.use_pallas and model.nz > 1
+    dgc_vert = None
+    if use_vert_kernel:
+        from ..ops.pallas_vert import vertical_pallas
 
-    # --- baroclinic pressure gradient: p = -∫ b dz, with b either the prognostic
-    # BuoyancyTracer or diagnosed from T/S via the linear EOS (SeawaterBuoyancy)
-    if model.buoyancy != "none":
-        if model.buoyancy == "linear_eos":
-            b_eff = _linear_eos_buoyancy(model, c)
-        else:
-            b_eff = b
-        p = _hydrostatic_pressure(b_eff, model.dz3)
-        Gu = Gu - dxf(p) * m.inv_dx_fc
-        Gv = Gv - dyf(p) * m.inv_dy_cf
+        names = model.tracer_names
+        cc = jnp.concatenate([c, b], axis=0) if model.has_b else c
+        eos = model.buoyancy == "linear_eos"
+        dgu, dgv, dgc_vert = vertical_pallas(
+            u, v, cc, model.vert_pack, model.vert_g,
+            dz=model.dz, dzc=model.dzc, mode=model.buoyancy,
+            g_b=model.g_b, alpha=model.alpha_T, beta=model.beta_S,
+            T0=model.T0, S0=model.S0,
+            it_T=names.index("T") if eos and "T" in names else -1,
+            it_S=names.index("S") if eos and "S" in names else -1,
+            it_B=len(names) if model.has_b else -1,
+            nu_v=0.0 if model.vert_impl else model.nu_v,
+            kappa_v=0.0 if model.vert_impl else model.kappa_v,
+            interpret=_fill_interpret())
+        Gu = Gu + dgu
+        Gv = Gv + dgv
+    else:
+        # --- vertical momentum advection (advective form, centered)
+        w = vertical_velocity(model, u, v)
+        Gu = Gu - _w_advect(ixf(w), u, model.dzc3)
+        Gv = Gv - _w_advect(iyf(w), v, model.dzc3)
 
-    if model.nu_v > 0.0 and not model.vert_impl:
-        Gu = Gu + model.nu_v * _vertical_laplacian(u, model.dz3, model.dzc3, model.mask_u3)
-        Gv = Gv + model.nu_v * _vertical_laplacian(v, model.dz3, model.dzc3, model.mask_v3)
+        if model.buoyancy != "none":
+            if model.buoyancy == "linear_eos":
+                b_eff = _linear_eos_buoyancy(model, c)
+            else:
+                b_eff = b
+            p = _hydrostatic_pressure(b_eff, model.dz3)
+            Gu = Gu - dxf(p) * m.inv_dx_fc
+            Gv = Gv - dyf(p) * m.inv_dy_cf
+
+        if model.nu_v > 0.0 and not model.vert_impl:
+            Gu = Gu + model.nu_v * _vertical_laplacian(u, model.dz3, model.dzc3,
+                                                       model.mask_u3)
+            Gv = Gv + model.nu_v * _vertical_laplacian(v, model.dz3, model.dzc3,
+                                                       model.mask_v3)
 
     # --- optional forcing / closures (compiled out when disabled)
     if m.wind:
@@ -711,10 +760,11 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
             fx = u * model.dzu * g.dy_fc * cx
             fy = v * model.dzv * g.dx_cf * cy
             G = -(dxc(fx) + dyc(fy)) * inv_vol
-        G = G + _vertical_tracer_div(w, cq, model.dz3) * model.mask_c3
-        if model.kappa_v > 0.0 and not model.vert_impl:
-            G = G + model.kappa_v * _vertical_laplacian(cq, model.dz3, model.dzc3, model.mask_c3) \
-                * model.mask_c3
+        if not use_vert_kernel:  # column kernel carries these (dgc_vert below)
+            G = G + _vertical_tracer_div(w, cq, model.dz3) * model.mask_c3
+            if model.kappa_v > 0.0 and not model.vert_impl:
+                G = G + model.kappa_v * _vertical_laplacian(
+                    cq, model.dz3, model.dzc3, model.mask_c3) * model.mask_c3
         if m.kappa_h > 0.0 and not use_adv_kernel:  # kernel path fuses this
             from ..ops.closures import laplacian_c
 
@@ -731,6 +781,11 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     # horizontal/vertical operator above indexes axes -1/-2/-3 only
     Gc = _as_tracer_stack(model, tracer_tendency(_as_tracer4(model, c)))
     Gb = tracer_tendency(b) if model.has_b else jnp.zeros_like(b)
+    if use_vert_kernel:  # add the column kernel's vertical tracer terms
+        ncp = c.shape[0]
+        Gc = Gc + dgc_vert[:ncp]
+        if model.has_b:
+            Gb = Gb + dgc_vert[ncp:]
 
     # --- user forcing (Oceananigans ``Forcing``), pointwise per layer: fn receives
     # the (Nz, 1, 1) layer-center depths so (λ, φ, z) broadcast to (Nz, Yb, Xb)

@@ -45,6 +45,31 @@ DEFAULT_BLOCK_ROWS = 152  # v5e sweep at 1/4 deg: 152 > 128 > 96 (see docs/perfo
 # 14 MB budget (calibrated to the 16 MB default limit) forced multi-window
 # blocks and cost ~8-13% in redundant substep rows.
 _VMEM_BUDGET_BYTES = 60 * 2**20
+# Older TPU generations (v2/v3: 16 MB VMEM/core; v4: 32 MB) cannot hold the
+# 60 MB window — derive the budget from the local device kind (advisor
+# finding, round 4) so auto_block_rows never selects a kernel that fails to
+# compile at runtime on those parts.
+_VMEM_BY_GENERATION = {"v2": 12 * 2**20, "v3": 12 * 2**20, "v4": 28 * 2**20}
+
+
+def _device_vmem_budget():
+    """VMEM budget for the local accelerator: 60 MB on v5-class-or-newer TPUs
+    (where the round-4 single-window measurements were taken), derated on
+    v2/v3/v4, and the 60 MB default anywhere the device kind is unreadable
+    (CPU interpret mode never compiles a Mosaic window, so the budget only
+    sizes the geometry there)."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _VMEM_BUDGET_BYTES
+    import re
+
+    m = re.search(r"\bv(\d+)", kind)
+    if m:
+        return _VMEM_BY_GENERATION.get(f"v{m.group(1)}", _VMEM_BUDGET_BYTES)
+    return _VMEM_BUDGET_BYTES
 
 
 def auto_block_rows(Ye, Xe, n_sub, itemsize=4, block_rows=None,
@@ -62,7 +87,7 @@ def auto_block_rows(Ye, Xe, n_sub, itemsize=4, block_rows=None,
     VMEM footprint."""
     if block_rows is not None:
         return block_rows
-    budget = _VMEM_BUDGET_BYTES if vmem_budget_bytes is None else vmem_budget_bytes
+    budget = _device_vmem_budget() if vmem_budget_bytes is None else vmem_budget_bytes
     Xe_pad = -128 * (-Xe // 128)
     Ye_pad8 = -8 * (-Ye // 8)
     best = None  # (total_rows, footprint, B)

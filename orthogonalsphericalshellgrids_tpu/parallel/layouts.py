@@ -57,6 +57,7 @@ _LAYERED_FIELDS = {
     "dzu": BASE, "dzv": BASE,
     "adv_pack": BASE,
     "mom_static": BASE, "mom_lay": BASE,
+    "vert_pack": BASE, "vert_g": BASE,
     "inv_h_u": BASE, "inv_h_v": BASE,
     "bot_u": BASE, "bot_v": BASE,
 }

@@ -84,52 +84,7 @@ def test_single_layer_step_runs_compiled():
     assert bool(jnp.all(jnp.isfinite(s.eta)))
 
 
-def test_tracer_adv_kernel_compiled():
-    """Compiled Mosaic lowering of the tracer-advection kernel vs the XLA
-    slice (same association) — the default layered TPU path routes through it."""
-    from orthogonalsphericalshellgrids_tpu.ops.advection import (
-        weno5_upwind_faces_from_centers)
-    from orthogonalsphericalshellgrids_tpu.ops.operators import dxc, dyc
-    from orthogonalsphericalshellgrids_tpu.ops.pallas_adv import tracer_adv_pallas
-
-    rng = np.random.default_rng(0)
-    P, nz, Yb, Xb = 4, 2, 120, 140
-    c = jnp.asarray(rng.standard_normal((P, Yb, Xb)), jnp.float32)
-    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
-    au = jnp.asarray(1.0 + rng.random((nz, Yb, Xb)), jnp.float32)
-    av = jnp.asarray(1.0 + rng.random((nz, Yb, Xb)), jnp.float32)
-    iv = jnp.asarray(rng.random((nz, Yb, Xb)), jnp.float32)
-
-    c4 = c.reshape(P // nz, nz, Yb, Xb)
-    cx = weno5_upwind_faces_from_centers(c4, u, axis=-1)
-    cy = weno5_upwind_faces_from_centers(c4, v, axis=-2)
-    want = np.asarray((-(dxc(u * au * cx) + dyc(v * av * cy)) * iv)
-                      .reshape(c.shape))
-    got = np.asarray(jax.jit(lambda *a: tracer_adv_pallas(*a, block_rows=48))(
-        c, u, v, au, av, iv))
-    I = (slice(None), slice(4, Yb - 4), slice(4, Xb - 4))
-    np.testing.assert_allclose(want[I], got[I], rtol=2e-6,
-                               atol=2e-6 * np.abs(want[I]).max())
-
-
-def test_momentum_kernel_compiled():
-    """Compiled Mosaic lowering of the momentum kernel (adv + fused lap/drag)."""
-    from orthogonalsphericalshellgrids_tpu.ops.pallas_mom import momentum_pallas
-
-    rng = np.random.default_rng(3)
-    nz, Yb, Xb = 2, 120, 140
-    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32)
-    M = jnp.asarray(1.0 + rng.random((8, Yb, Xb)), jnp.float32)
-    lay = jnp.asarray(rng.random((nz, 8, Yb, Xb)), jnp.float32)
-
-    wu, wv = momentum_pallas(u, v, M, lay, has_lap=True, has_drag=True,
-                             interpret=True, block_rows=48)
-    gu, gv = jax.jit(lambda *a: momentum_pallas(
-        *a, has_lap=True, has_drag=True, block_rows=48))(u, v, M, lay)
-    I = (slice(None), slice(5, Yb - 5), slice(5, Xb - 5))
-    for want, got in ((wu, gu), (wv, gv)):
-        w = np.asarray(want)[I]
-        np.testing.assert_allclose(w, np.asarray(got)[I], rtol=2e-6,
-                                   atol=2e-6 * np.abs(w).max())
+# The compiled adv/mom window-kernel lanes live in tests_tpu/test_pallas_adv_tpu.py
+# and tests_tpu/test_pallas_mom_tpu.py; the compiled barotropic lane (incl. the
+# single-window production variant and the layered kernels-on-vs-off step pin)
+# in tests_tpu/test_pallas_baro_tpu.py.
