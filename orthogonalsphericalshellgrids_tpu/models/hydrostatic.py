@@ -810,7 +810,7 @@ def overlap_supported(model, grid) -> bool:
     return r <= grid.Hy - 1 and r <= grid.Hx and grid.Ny >= grid.Hy
 
 
-def split_tendencies(model, S0, locs, signs, spmd, tend_from_stack, t):
+def split_tendencies(model, groups, locs, signs, spmd, tend_from_groups, t):
     """Generic interior/boundary-split tendency evaluation (SURVEY.md §2.3's
     comm/compute overlap; reference context ``src/distributed_tripolar_grid.jl:171``).
 
@@ -831,26 +831,43 @@ def split_tendencies(model, S0, locs, signs, spmd, tend_from_stack, t):
     (guarded statically by ``overlap_supported``) — the result is bitwise-equal to
     the unsplit step (tests/test_distributed{,2d}.py).
 
-    ``tend_from_stack(model_view, S_view, t)`` maps a (row- or column-sliced) model
-    view and a matching slice of the filled stack to a tuple of tendency arrays.
-    Returns (G_tuple, S_full)."""
+    ``groups``: list of (K_i, y, x) plane stacks, each with a UNIFORM (loc, sign)
+    from ``locs``/``signs``. On the 1-D mesh the exchange is STRIP-BASED
+    (ops/spmd.fill_halos_spmd_groups): no full-plane concatenation is ever
+    materialized — the round-4 verdict's layered concat-tax item. The 2-D mesh
+    still concatenates internally (its fold gather operates on the stack).
+
+    ``tend_from_groups(model_view, group_views, t)`` maps a (row- or column-
+    sliced) model view and matching slices of the filled groups to a tuple of
+    tendency arrays. Returns (G_tuple, groups_full)."""
+    from ..ops.spmd import fill_halos_spmd_groups
+
     g = model.grid
     Hy, ny = g.Hy, g.Ny  # local sizes inside shard_map
     two_d = isinstance(spmd, Spmd2D)
+    Ks = [gr.shape[0] for gr in groups]
+    splits = np.cumsum(Ks)[:-1].tolist()
 
     if two_d:
-        S_full = fill_halos_spmd2d_batch(S0, locs, signs, g.Nx, ny, g.Hx, Hy, spmd)
-        S_stale = S0  # x halos are remote under an x-partition: no local wrap exists
+        S0 = jnp.concatenate(groups, axis=0)
+        flat_locs = [l for l, K in zip(locs, Ks) for _ in range(K)]
+        flat_signs = [s for s, K in zip(signs, Ks) for _ in range(K)]
+        S_full = fill_halos_spmd2d_batch(S0, flat_locs, flat_signs, g.Nx, ny,
+                                         g.Hx, Hy, spmd)
+        groups_full = jnp.split(S_full, splits, axis=0)
+        groups_stale = groups  # x halos are remote under an x-partition
     else:
-        S_full = fill_halos_spmd_batch(S0, locs, signs, g.Nx, ny, g.Hx, Hy, spmd)
+        groups_full = fill_halos_spmd_groups(groups, locs, signs, g.Nx, ny,
+                                             g.Hx, Hy, spmd)
         # each 1-D shard holds the full x extent: the x-wrap is local
-        S_stale = zipper.wrap_x(S0, g.Nx, g.Hx, xp=jnp)
+        groups_stale = [zipper.wrap_x(gr, g.Nx, g.Hx, xp=jnp) for gr in groups]
 
-    G = tend_from_stack(model, S_stale, t)
+    G = tend_from_groups(model, groups_stale, t)
 
     def ystrip(r0):
         m_s = _model_rows(model, r0, r0 + 3 * Hy)
-        return tend_from_stack(m_s, S_full[..., r0 : r0 + 3 * Hy, :], t)
+        views = [gr[..., r0 : r0 + 3 * Hy, :] for gr in groups_full]
+        return tend_from_groups(m_s, views, t)
 
     G_lo = ystrip(0)        # patches interior rows [Hy, 2Hy)
     G_hi = ystrip(ny - Hy)  # patches interior rows [ny, ny+Hy) (incl. the fold row)
@@ -867,7 +884,8 @@ def split_tendencies(model, S0, locs, signs, spmd, tend_from_stack, t):
 
         def xstrip(c0):
             m_s = _model_cols(model, c0, c0 + 3 * Hx)
-            return tend_from_stack(m_s, S_full[..., :, c0 : c0 + 3 * Hx], t)
+            views = [gr[..., :, c0 : c0 + 3 * Hx] for gr in groups_full]
+            return tend_from_groups(m_s, views, t)
 
         G_w = xstrip(0)        # patches interior columns [Hx, 2Hx)
         G_e = xstrip(nx - Hx)  # patches interior columns [nx, nx+Hx)
@@ -880,23 +898,25 @@ def split_tendencies(model, S0, locs, signs, spmd, tend_from_stack, t):
         # correct regardless of the row/column patch order
         G = tuple(merge_cols(a, w, e) for a, w, e in zip(G, G_w, G_e))
 
-    return G, S_full
+    return G, groups_full
 
 
 def tendencies_overlapped(model: HydrostaticModel, state: State, spmd):
     """Interior/boundary-split single-layer tendencies (see ``split_tendencies``).
     Works on both the 1-D y mesh (``Spmd``) and the 2-D (x, y) mesh (``Spmd2D``).
-    Returns (Gu, Gv, Gc, S_filled); bitwise-equal to the unsplit path
+    Returns (Gu, Gv, Gc, groups_filled); bitwise-equal to the unsplit path
     (tests/test_distributed.py::test_overlap_split_bitwise and the 2-D variants)."""
-    S0 = _stack_uvc(state.u, state.v, state.c)
-    locs_uvc, signs_uvc = _uvc_locs_signs(state.c)
+    c3 = state.c[None] if state.c.ndim == 2 else state.c
+    groups = [state.u[None], state.v[None], c3]
+    locs, signs = [FC, CF, CC], [-1, -1, 1]
 
-    def tend(m_view, S_view, t):
-        return tendencies(m_view, *_unstack_uvc(S_view, state.c), t=t)
+    def tend(m_view, views, t):
+        cv = views[2][0] if state.c.ndim == 2 else views[2]
+        return tendencies(m_view, views[0][0], views[1][0], cv, t=t)
 
-    (Gu, Gv, Gc), S_full = split_tendencies(
-        model, S0, locs_uvc, signs_uvc, spmd, tend, state.t)
-    return Gu, Gv, Gc, S_full
+    (Gu, Gv, Gc), groups_full = split_tendencies(
+        model, groups, locs, signs, spmd, tend, state.t)
+    return Gu, Gv, Gc, groups_full
 
 
 def barotropic_substeps(model: HydrostaticModel, eta, U, V, GU, GV, dt, dpack=None,

@@ -317,17 +317,18 @@ def make_layered_model(
                if lay_parts else None)
 
     # z-resident column-kernel packs (ops/pallas_vert.py): the u/v mask planes
-    # ride only when the explicit vertical viscosity needs them (S = 5)
+    # ride only when the explicit vertical viscosity needs them (S = 3); the
+    # flux factors are the GLOBAL dy_fc/dx_cf planes + static dz (u/v are
+    # masked prognostics — see pack_vert_statics)
     from ..ops.pallas_vert import pack_vert_statics as _vert_pack_fn
 
     vert_impl = vertical_time_discretization == "implicit"
-    a_u3 = dz3 * mask_u3 * grid.dy_fc  # == dzu * dy_fc (adv_pack's A_u)
-    a_v3 = dz3 * mask_v3 * grid.dx_cf
     if nu_v > 0.0 and not vert_impl:
-        vert_pack = _vert_pack_fn(a_u3, a_v3, mask_c3, mask_u3, mask_v3)
+        vert_pack = _vert_pack_fn(mask_c3, mask_u3, mask_v3)
     else:
-        vert_pack = _vert_pack_fn(a_u3, a_v3, mask_c3)
-    vert_g = jnp.stack([_inv(grid.az_cc), baro.inv_dx_fc, baro.inv_dy_cf])
+        vert_pack = _vert_pack_fn(mask_c3)
+    vert_g = jnp.stack([_inv(grid.az_cc), baro.inv_dx_fc, baro.inv_dy_cf,
+                        grid.dy_fc, grid.dx_cf])
 
     return LayeredModel(
         baro=baro,
@@ -826,24 +827,6 @@ def _fill3(model: LayeredModel, A, loc, sign, spmd=None):
 
 
 
-def _layered_stack(model: LayeredModel, state: LayeredState):
-    """(planes, locs, signs) for one batched fill of every baroclinic prognostic."""
-    nz = model.nz
-    ncp = state.c.shape[0]
-    planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
-    locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
-    signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
-    return jnp.concatenate(planes, axis=0), locs, signs
-
-
-def _layered_unstack(model: LayeredModel, state: LayeredState, S):
-    nz = model.nz
-    ncp = state.c.shape[0]
-    u, v, c = S[:nz], S[nz : 2 * nz], S[2 * nz : 2 * nz + ncp]
-    b = S[2 * nz + ncp :] if model.has_b else state.b
-    return u, v, c, b
-
-
 def layered_tendencies_overlapped(model: LayeredModel, state: LayeredState, spmd):
     """Interior/boundary-split layered tendencies (models/hydrostatic.py::
     split_tendencies applied to the (3-4)·Nz-plane stack): the bulk per-layer
@@ -859,17 +842,20 @@ def layered_tendencies_overlapped(model: LayeredModel, state: LayeredState, spmd
     it is the same as the single-layer model's (``overlap_radius``)."""
     from .hydrostatic import split_tendencies
 
-    S0, locs, signs = _layered_stack(model, state)
+    groups = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
+    locs = [FC, CF, CC] + ([CC] if model.has_b else [])
+    signs = [-1, -1, 1] + ([1] if model.has_b else [])
 
-    def tend(m_view, S_view, t):
-        # nz/ncp are static meta — identical on sliced views; with no prognostic b
-        # the (full-size, unused) state.b placeholder must stay OUT of the strip
-        # merge, so Gb is dropped here and re-attached by the caller
-        u, v, c, b = _layered_unstack(model, state, S_view)
+    def tend(m_view, views, t):
+        # with no prognostic b the (full-size, unused) state.b placeholder must
+        # stay OUT of the strip merge, so Gb is dropped here and re-attached by
+        # the caller
+        u, v, c = views[0], views[1], views[2]
+        b = views[3] if model.has_b else state.b
         Gu, Gv, Gc, Gb = layered_tendencies(m_view, u, v, c, b, t=t)
         return (Gu, Gv, Gc, Gb) if model.has_b else (Gu, Gv, Gc)
 
-    G, _ = split_tendencies(model, S0, locs, signs, spmd, tend, state.t)
+    G, _ = split_tendencies(model, groups, locs, signs, spmd, tend, state.t)
     if model.has_b:
         return G
     return G + (jnp.zeros_like(state.b),)
@@ -932,9 +918,17 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
     if overlap:
         # free-surface fields exchanged first — like the prognostic exchange inside
         # the split, this collective has no dependence on the bulk stencil pass
-        SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
-                          [CC, FC, CF], [1, -1, -1], spmd)
-        eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
+        from ..ops.spmd import Spmd as _Spmd
+        from ..ops.spmd import fill_halos_spmd_groups as _fill_groups
+
+        if isinstance(spmd, _Spmd) and spmd.n_shards > 1:
+            eta_f, U_f, V_f = (a[0] for a in _fill_groups(
+                [state.eta[None], state.U[None], state.V[None]],
+                [CC, FC, CF], [1, -1, -1], ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd))
+        else:
+            SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
+                              [CC, FC, CF], [1, -1, -1], spmd)
+            eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
         Gu, Gv, Gc, Gb = layered_tendencies_overlapped(model, state, spmd)
     elif fill_mode == "pallas" and spmd is None:
         # aliased Pallas strip writes: each prognostic group's buffer is donated to
@@ -962,18 +956,40 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
         U_f = _fill(ge, state.U, FC, -1)
         V_f = _fill(ge, state.V, CF, -1)
     else:
-        # one batched fill for every baroclinic prognostic plane (tracer stack included)
-        planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
-        locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
-        signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
-        SB = _fill_batch(g, jnp.concatenate(planes, axis=0), locs, signs, spmd)
-        u, v, c = SB[:nz], SB[nz : 2 * nz], SB[2 * nz : 2 * nz + ncp]
-        b = SB[2 * nz + ncp :] if model.has_b else state.b
+        from ..ops.spmd import Spmd, fill_halos_spmd_groups
 
-        # free-surface fields exchanged early (overlappable with the tendency stencils)
-        SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
-                          [CC, FC, CF], [1, -1, -1], spmd)
-        eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
+        if isinstance(spmd, Spmd) and spmd.n_shards > 1:
+            # 1-D mesh: STRIP-BASED group exchange — one collective pair for
+            # every baroclinic prognostic with zero full-plane concats
+            # (round-4 verdict item 4; the concat round-trips were ~15% of
+            # the serial step at 1/4°×10)
+            groups = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
+            glocs = [FC, CF, CC] + ([CC] if model.has_b else [])
+            gsigns = [-1, -1, 1] + ([1] if model.has_b else [])
+            filled = fill_halos_spmd_groups(groups, glocs, gsigns, g.Nx, g.Ny,
+                                            g.Hx, g.Hy, spmd)
+            u, v, c = filled[0], filled[1], filled[2]
+            b = filled[3] if model.has_b else state.b
+
+            # free-surface fields exchanged early (overlappable with the
+            # tendency stencils); 1-plane groups — no stack/unstack copies
+            eta_f, U_f, V_f = (a[0] for a in fill_halos_spmd_groups(
+                [state.eta[None], state.U[None], state.V[None]],
+                [CC, FC, CF], [1, -1, -1], ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd))
+        else:
+            # serial batch mode / 2-D mesh: one batched fill of the plane stack
+            planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
+            locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
+            signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
+            SB = _fill_batch(g, jnp.concatenate(planes, axis=0), locs, signs, spmd)
+            u, v, c = SB[:nz], SB[nz : 2 * nz], SB[2 * nz : 2 * nz + ncp]
+            b = SB[2 * nz + ncp :] if model.has_b else state.b
+
+            # free-surface fields exchanged early (overlappable with the
+            # tendency stencils)
+            SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
+                              [CC, FC, CF], [1, -1, -1], spmd)
+            eta_f, U_f, V_f = SE3[0], SE3[1], SE3[2]
 
     if not overlap:
         Gu, Gv, Gc, Gb = layered_tendencies(model, u, v, c, b, t=state.t)
@@ -1010,8 +1026,16 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
         GU_f = _fill(ge, GU0, FC, -1)
         GV_f = _fill(ge, GV0, CF, -1)
     else:
-        SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
-        GU_f, GV_f = SG[0], SG[1]
+        from ..ops.spmd import Spmd as _Spmd
+        from ..ops.spmd import fill_halos_spmd_groups as _fill_groups
+
+        if isinstance(spmd, _Spmd) and spmd.n_shards > 1:
+            GU_f, GV_f = (a[0] for a in _fill_groups(
+                [GU0[None], GV0[None]], [FC, CF], [-1, -1],
+                ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd))
+        else:
+            SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
+            GU_f, GV_f = SG[0], SG[1]
 
     n_sub = int(m.weights.shape[0])
     eta_a, U_a, V_a = barotropic_substeps(

@@ -52,13 +52,19 @@ DEFAULT_BLOCK_ROWS_VERT = None  # auto (see auto_block_rows_vert)
 _OV = 8  # window overlap (sublane multiple; stencil radius is only 1)
 
 
-def pack_vert_statics(a_u, a_v, mask_c, mask_u=None, mask_v=None):
-    """Layer-major static pack (Nz*S, Yb, Xb), S = 3 (5 with the u/v masks the
+def pack_vert_statics(mask_c, mask_u=None, mask_v=None):
+    """Layer-major static pack (Nz*S, Yb, Xb), S = 1 (3 with the u/v masks the
     explicit nu_v Laplacian needs): plane k*S+i = layer k's i-th factor, in
-    order [Au = dzu*dy_fc, Av = dzv*dx_cf, mask_c (, mask_u, mask_v)]. Call
-    once at model build."""
-    parts = [a_u, a_v, mask_c] + ([mask_u, mask_v] if mask_u is not None else [])
-    nz = a_u.shape[0]
+    order [mask_c (, mask_u, mask_v)]. Call once at model build.
+
+    The horizontal flux factors Au = dzu*dy_fc / Av = dzv*dx_cf do NOT ride as
+    per-layer planes: u/v are masked prognostics (zero on land, including the
+    fold/wrap halos — the model masks every velocity update and the halo fill
+    only copies/sign-flips), so Au*u == dz_k * dy_fc * u exactly and the kernel
+    uses the two GLOBAL metric planes + the static dz_k instead — 20 fewer
+    DMA planes per window at the benchmark shape."""
+    parts = [mask_c] + ([mask_u, mask_v] if mask_u is not None else [])
+    nz = mask_c.shape[0]
     return jnp.concatenate([jnp.stack([p[k] for p in parts]) for k in range(nz)])
 
 
@@ -86,7 +92,7 @@ def auto_block_rows_vert(Yb, Xb, nz, P, S, itemsize=4, block_rows=None,
         vmem_budget_bytes = _device_vmem_budget()
     Xb_pad = -128 * (-Xb // 128)
     Yb8 = -8 * (-Yb // 8)
-    n_in = 2 * nz + P + nz * S + 3
+    n_in = 2 * nz + P + nz * S + 5
     n_out = 2 * nz + P
     best = None
     for B in range(8, Yb8 + 8, 8):
@@ -176,26 +182,24 @@ def _kernel(u_ref, v_ref, c_ref, s_ref, g_ref, out_ref,
     u = [ubuf[slot, k] for k in range(nz)]
     v = [vbuf[slot, k] for k in range(nz)]
 
-    def AU(k):
-        return sbuf[slot, k * S + 0]
-
-    def AV(k):
-        return sbuf[slot, k * S + 1]
-
     def MC(k):
-        return sbuf[slot, k * S + 2]
+        return sbuf[slot, k * S + 0]
 
     IAZ = gbuf[slot, 0]
     IDX = gbuf[slot, 1]
     IDY = gbuf[slot, 2]
+    DYFC = gbuf[slot, 3]
+    DXCF = gbuf[slot, 4]
 
-    # --- interface velocities w_j (j = 1..nz-1), accumulated from the floor
+    # --- interface velocities w_j (j = 1..nz-1), accumulated from the floor.
+    # u/v are masked prognostics (see pack_vert_statics), so the flux factors
+    # collapse to the global metric planes times the static layer thickness.
     w = [None] * nz  # w[j] = velocity at the TOP interface of layer j
     acc = None
     for k in range(nz - 1, 0, -1):
-        fu = AU(k) * u[k]
-        fv = AV(k) * v[k]
-        hdiv = ((rollp_x(fu) - fu) + (rollp_y(fv) - fv)) * IAZ
+        fu = DYFC * u[k]
+        fv = DXCF * v[k]
+        hdiv = dz[k] * ((rollp_x(fu) - fu) + (rollp_y(fv) - fv)) * IAZ
         acc = hdiv if acc is None else acc + hdiv
         w[k] = -acc
 
@@ -230,9 +234,9 @@ def _kernel(u_ref, v_ref, c_ref, s_ref, g_ref, out_ref,
 
     if nu_v > 0.0:
         # flux-form explicit vertical viscosity with solid-interface masking
-        Fu = [du[jf] * (sbuf[slot, (jf - 1) * S + 3] * sbuf[slot, jf * S + 3])
+        Fu = [du[jf] * (sbuf[slot, (jf - 1) * S + 1] * sbuf[slot, jf * S + 1])
               for jf in range(1, nz)]
-        Fv = [dv[jf] * (sbuf[slot, (jf - 1) * S + 4] * sbuf[slot, jf * S + 4])
+        Fv = [dv[jf] * (sbuf[slot, (jf - 1) * S + 2] * sbuf[slot, jf * S + 2])
               for jf in range(1, nz)]
         Fu = [None] + Fu + [None]
         Fv = [None] + Fv + [None]
@@ -277,7 +281,7 @@ def _kernel(u_ref, v_ref, c_ref, s_ref, g_ref, out_ref,
         F = [None] + F + [None]
         if kappa_v > 0.0:
             D = [(c[jf - 1] - c[jf]) * rdzc[jf - 1]
-                 * (sbuf[slot, (jf - 1) * S + 2] * sbuf[slot, jf * S + 2])
+                 * (sbuf[slot, (jf - 1) * S + 0] * sbuf[slot, jf * S + 0])
                  for jf in range(1, nz)]
             D = [None] + D + [None]
         for k in range(nz):
@@ -304,10 +308,12 @@ def vertical_pallas(u, v, c, s_pack, g_pack, *, dz, dzc, mode="none",
                     block_rows=None, interpret=False):
     """All layer-coupled vertical tendency terms in one window sweep.
 
-    ``u``/``v``: (Nz, Yb, Xb) halo-filled velocities; ``c``: (P, Yb, Xb)
+    ``u``/``v``: (Nz, Yb, Xb) halo-filled MASKED velocities (zero on land —
+    the model guarantees this; see pack_vert_statics); ``c``: (P, Yb, Xb)
     tracer-major plane stack (the prognostic buoyancy, when present, rides as
     tracer block ``it_B``). ``s_pack`` from :func:`pack_vert_statics`;
-    ``g_pack``: (3, Yb, Xb) stacked [inv_az_cc, inv_dx_fc, inv_dy_cf].
+    ``g_pack``: (5, Yb, Xb) stacked [inv_az_cc, inv_dx_fc, inv_dy_cf,
+    dy_fc, dx_cf].
     ``dz``/``dzc``: static per-layer thickness / interface-spacing tuples.
     ``mode``: "none" | "tracer_b" | "linear_eos". Returns (dGu, dGv, dGc) —
     ADDITIVE contributions; cells within 1 row/column of the edge are garbage.
@@ -316,9 +322,10 @@ def vertical_pallas(u, v, c, s_pack, g_pack, *, dz, dzc, mode="none",
     P = c.shape[0]
     assert P % nz == 0, (P, nz)
     S = s_pack.shape[0] // nz
-    assert S in (3, 5) and s_pack.shape[0] == S * nz, s_pack.shape
+    assert S in (1, 3) and s_pack.shape[0] == S * nz, s_pack.shape
+    assert g_pack.shape[0] == 5, g_pack.shape
     if nu_v > 0.0:
-        assert S == 5, "explicit nu_v needs the mask_u/mask_v planes (S=5)"
+        assert S == 3, "explicit nu_v needs the mask_u/mask_v planes (S=3)"
     B0 = auto_block_rows_vert(Yb, Xb, nz, P, S,
                               jnp.dtype(u.dtype).itemsize, block_rows)
     B, W, n_prog, Yb_pad = _geometry(Yb, B0)
@@ -351,7 +358,7 @@ def vertical_pallas(u, v, c, s_pack, g_pack, *, dz, dzc, mode="none",
             pltpu.VMEM((2, nz, W, Xb_pad), u.dtype),        # v windows
             pltpu.VMEM((2, P, W, Xb_pad), u.dtype),         # tracer windows
             pltpu.VMEM((2, S * nz, W, Xb_pad), u.dtype),    # per-layer statics
-            pltpu.VMEM((2, 3, W, Xb_pad), u.dtype),         # global statics
+            pltpu.VMEM((2, 5, W, Xb_pad), u.dtype),         # global statics
             pltpu.VMEM((n_out, W, Xb_pad), u.dtype),        # output staging
             pltpu.SemaphoreType.DMA((2, 5)),
             pltpu.SemaphoreType.DMA(()),
@@ -359,7 +366,7 @@ def vertical_pallas(u, v, c, s_pack, g_pack, *, dz, dzc, mode="none",
     )
     kwargs = {}
     if not interpret:
-        foot = (2 * (2 * nz + P + S * nz + 3) + n_out) * W * Xb_pad \
+        foot = (2 * (2 * nz + P + S * nz + 5) + n_out) * W * Xb_pad \
             * jnp.dtype(u.dtype).itemsize
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(foot + 32 * 2**20))

@@ -34,13 +34,80 @@ __all__ = ["Spmd2D", "fill_halos_spmd2d_batch"]
 @dataclasses.dataclass(frozen=True)
 class Spmd2D:
     """Static 2-D SPMD configuration. ``nx_global`` is the GLOBAL x size (the local
-    model metadata carries local sizes; the fold needs the global one)."""
+    model metadata carries local sizes; the fold needs the global one).
+
+    ``fold_mode`` selects how the top y-rank's zipper fold crosses the
+    x-partition: ``"gather"`` (all_gather of the thin strip along x — receive
+    volume grows with n_x) or ``"mirror"`` (one ppermute to the mirror rank
+    r ↔ n_x−1−r plus a one-column ring shift for face-x planes —
+    N-INDEPENDENT volume; the fold pairs mirror ranks, so rank (r, top) only
+    ever needs rank (n_x−1−r, top)'s strip). ``"auto"`` picks gather for
+    n_x ≤ 4 (fewer latency hops, the gather is cheap at that width — the 2-D
+    comm model in docs/performance.md) and mirror beyond. Both are
+    bitwise-equal (tests/test_distributed2d.py)."""
 
     axis_x: str = "x"
     axis_y: str = "y"
     n_x: int = 1
     n_y: int = 1
     nx_global: int = 0
+    fold_mode: str = "auto"
+
+    @property
+    def resolved_fold_mode(self) -> str:
+        if self.fold_mode == "auto":
+            return "gather" if self.n_x <= 4 else "mirror"
+        if self.fold_mode not in ("gather", "mirror"):
+            raise ValueError(f"unknown fold_mode {self.fold_mode!r}")
+        return self.fold_mode
+
+
+def _fold_rows_mirror(S, locs, signs, nx_local, ny_local, Hx, Hy, spmd: Spmd2D, ix):
+    """N-independent fold exchange: the rewritten fold rows (row Ny + Hy halo
+    rows, OWN interior columns) via a single mirror-rank ppermute.
+
+    The global fold mirror is ``flip`` over x (+ a one-column roll for face-x
+    planes). A global flip decomposes as block-reversal ∘ within-block flip, so
+    each rank flips its own strip locally and ppermutes it to its mirror rank
+    (r ↔ n_x−1−r); the face-x one-column roll then needs exactly ONE column
+    from the −x ring neighbor. Arithmetic is identical to
+    ``zipper.fold_north_batch`` on the gathered strip — bitwise-equal by
+    construction (pinned in tests/test_distributed2d.py)."""
+    from .location import FACE, validate_location
+
+    K = S.shape[0]
+    locs_v = [validate_location(l) for l in locs]
+    n_x = spmd.n_x
+    nx_g = spmd.nx_global
+
+    top = S[:, Hy + ny_local - 1 - Hy : Hy + ny_local, Hx : Hx + nx_local]
+    flipped = jnp.flip(top, axis=-1)
+    R = jax.lax.ppermute(flipped, spmd.axis_x,
+                         [(i, n_x - 1 - i) for i in range(n_x)])
+    # face-x planes read roll(flip(global), +1): local column 0 comes from the
+    # last column of the -x ring neighbor's mirrored strip
+    recv = jax.lax.ppermute(R[:, :, -1:], spmd.axis_x,
+                            [(i, (i + 1) % n_x) for i in range(n_x)])
+    R_face = jnp.concatenate([recv, R[:, :, :-1]], axis=-1)
+
+    is_face_x = jnp.asarray([lx == FACE for lx, _ in locs_v]).reshape(K, 1, 1)
+    M = jnp.where(is_face_x, R_face, R)
+
+    i0 = ix * nx_local + jnp.arange(nx_local)  # GLOBAL column indices
+    sign_col = jnp.asarray(signs, dtype=S.dtype).reshape(K, 1, 1)
+    sign_row = jnp.where(is_face_x & (i0.reshape(1, 1, nx_local) == 0),
+                         jnp.abs(sign_col), sign_col)
+
+    is_face_y = jnp.asarray([ly == FACE for _, ly in locs_v]).reshape(K, 1, 1)
+    halo_c = jnp.flip(M[:, :Hy, :], axis=-2)
+    halo_f = jnp.flip(M[:, 1 : Hy + 1, :], axis=-2)
+    halo = jnp.where(is_face_y, halo_f, halo_c) * sign_row
+
+    old_row = top[:, Hy, :]
+    mir_row = M[:, Hy, :]
+    cond = (~is_face_y[:, 0, :]) & (i0.reshape(1, nx_local) >= nx_g // 2)
+    new_row = jnp.where(cond, sign_row[:, 0, :] * mir_row, old_row)
+    return jnp.concatenate([new_row[:, None, :], halo], axis=-2)  # (K, Hy+1, nxl)
 
 
 def fill_halos_spmd2d_batch(S, locs, signs, nx_local, ny_local, Hx, Hy,
@@ -60,24 +127,29 @@ def fill_halos_spmd2d_batch(S, locs, signs, nx_local, ny_local, Hx, Hy,
     S = jnp.concatenate([from_south, S[:, Hy : Hy + ny_local, :], from_north], axis=-2)
     S = jnp.where(iy == 0, zipper.fill_south(S, ny_local, Hy, south, xp=jnp), S)
 
-    # ---- phase 2: zipper fold via x-gathered strip (top y-rank only) ----
-    # all shards participate in the gather (uniform collective); only the top rank's
+    # ---- phase 2: zipper fold across the x-partition (top y-rank only) ----
+    # all shards participate in the collectives (uniform); only the top rank's
     # result is used. Strip: top Hy+1 interior rows, interior columns.
-    strip = S[:, Hy + ny_local - 1 - Hy : Hy + ny_local, Hx : Hx + nx_local]
-    strip_g = jax.lax.all_gather(strip, spmd.axis_x, axis=2, tiled=True)  # (K, Hy+1, Nx)
-    # embed into a pseudo halo-inclusive array (Ny = Hy+1 interior rows = the strip,
-    # Hy dummy south-halo rows, Hy north-halo rows to be written; no x halos) and run
-    # the global fold logic on it verbatim.
-    zeros_h = jnp.zeros_like(strip_g[:, :Hy, :])
-    pseudo = jnp.concatenate([zeros_h, strip_g, zeros_h], axis=-2)  # (K, 3*Hy+1, Nx)
-    folded = zipper.fold_north_batch(pseudo, locs, signs, nx_g, Hy + 1, 0, Hy, xp=jnp)
-    new_rows = folded[:, 2 * Hy :, :]  # row Ny (redundant half rewritten) + Hy halo rows
-    zero = jnp.zeros_like(ix)
-    own = jax.lax.dynamic_slice(
-        new_rows,
-        (zero, zero, ix * nx_local),
-        (new_rows.shape[0], new_rows.shape[1], nx_local),
-    )
+    if spmd.resolved_fold_mode == "mirror":
+        own = _fold_rows_mirror(S, locs, signs, nx_local, ny_local, Hx, Hy,
+                                spmd, ix)
+    else:
+        strip = S[:, Hy + ny_local - 1 - Hy : Hy + ny_local, Hx : Hx + nx_local]
+        strip_g = jax.lax.all_gather(strip, spmd.axis_x, axis=2, tiled=True)  # (K, Hy+1, Nx)
+        # embed into a pseudo halo-inclusive array (Ny = Hy+1 interior rows = the
+        # strip, Hy dummy south-halo rows, Hy north-halo rows to be written; no x
+        # halos) and run the global fold logic on it verbatim.
+        zeros_h = jnp.zeros_like(strip_g[:, :Hy, :])
+        pseudo = jnp.concatenate([zeros_h, strip_g, zeros_h], axis=-2)  # (K, 3*Hy+1, Nx)
+        folded = zipper.fold_north_batch(pseudo, locs, signs, nx_g, Hy + 1, 0, Hy,
+                                         xp=jnp)
+        new_rows = folded[:, 2 * Hy :, :]  # row Ny (redundant half) + Hy halo rows
+        zero = jnp.zeros_like(ix)
+        own = jax.lax.dynamic_slice(
+            new_rows,
+            (zero, zero, ix * nx_local),
+            (new_rows.shape[0], new_rows.shape[1], nx_local),
+        )
     S_fold = S.at[:, Hy + ny_local - 1 :, Hx : Hx + nx_local].set(own)
     S = jnp.where(iy == spmd.n_y - 1, S_fold, S)
 

@@ -157,7 +157,7 @@ def gather_state2d(dist_state: State, model_serial: HydrostaticModel, mesh: Mesh
 
 
 def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int,
-                      overlap=None):
+                      overlap=None, fold_mode="auto"):
     """Jitted shard_map-wrapped 2-D step: (state, dt) -> state.
 
     ``overlap`` (default: on when the halo width statically supports it) selects the
@@ -165,7 +165,8 @@ def sharded_step_fn2d(mesh: Mesh, dist_model: HydrostaticModel, nx_global: int,
     interior data, boundary rows AND columns are recomputed on strips of the
     exchanged stack; bitwise-equal either way (tests/test_distributed2d.py)."""
     n_y, n_x = mesh.devices.shape
-    spmd = Spmd2D(axis_x="x", axis_y="y", n_x=n_x, n_y=n_y, nx_global=nx_global)
+    spmd = Spmd2D(axis_x="x", axis_y="y", n_x=n_x, n_y=n_y, nx_global=nx_global,
+                  fold_mode=fold_mode)
 
     model_specs = jax.tree_util.tree_map(_pspec_for, dist_model)
 
@@ -215,13 +216,15 @@ def gather_layered_state2d(dist_state, model_serial, mesh: Mesh):
                           model_serial.baro.grid_ext)
 
 
-def sharded_layered_step_fn2d(mesh: Mesh, dist_model, nx_global: int, overlap=None):
+def sharded_layered_step_fn2d(mesh: Mesh, dist_model, nx_global: int, overlap=None,
+                              fold_mode="auto"):
     """Jitted shard_map-wrapped 2-D layered step: (state, dt) -> state. ``overlap``
     as in ``sharded_step_fn2d`` (split in both directions, bitwise-equal)."""
     from ..models import layered as lay
 
     n_y, n_x = mesh.devices.shape
-    spmd = Spmd2D(axis_x="x", axis_y="y", n_x=n_x, n_y=n_y, nx_global=nx_global)
+    spmd = Spmd2D(axis_x="x", axis_y="y", n_x=n_x, n_y=n_y, nx_global=nx_global,
+                  fold_mode=fold_mode)
     model_specs = jax.tree_util.tree_map(_pspec_for, dist_model)
 
     def run(dist_state, dt):

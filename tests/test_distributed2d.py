@@ -271,3 +271,71 @@ def test_2d_layered_overlap_split_bitwise():
         np.testing.assert_allclose(np.asarray(ge.interior(getattr(ga, name))),
                                    np.asarray(ge.interior(getattr(gb, name))),
                                    rtol=1e-13, atol=1e-17, err_msg=name)
+
+
+@pytest.mark.parametrize("nx_mesh", [2, 4, 8])
+def test_fold_mirror_matches_gather(nx_mesh):
+    """The N-independent mirror-rank fold ppermute must be BITWISE-equal to the
+    all_gather fold on the raw batched 2-D fill (round-4 verdict item 6; the
+    x-decomposition gap the reference rejects at
+    src/distributed_tripolar_grid.jl:30-31)."""
+    from jax.sharding import PartitionSpec as P
+
+    from orthogonalsphericalshellgrids_tpu.ops.location import CC, CF, FC
+    from orthogonalsphericalshellgrids_tpu.ops.spmd2d import (
+        Spmd2D, fill_halos_spmd2d_batch)
+    from orthogonalsphericalshellgrids_tpu.parallel import make_mesh2d
+
+    ny_mesh = 8 // nx_mesh
+    mesh = make_mesh2d(nx_mesh, ny_mesh)
+    Nx, Ny, Hx, Hy = 32, 16, 4, 4
+    K = 6
+    rng = np.random.default_rng(0)
+    S = jnp.asarray(rng.standard_normal((K, Ny + 2 * Hy, Nx + 2 * Hx)))
+    locs = [FC, CF, CC, FC, CF, CC]
+    signs = [-1, -1, 1, 1, -1, 1]
+    nxl, nyl = Nx // nx_mesh, Ny // ny_mesh
+
+    def run(mode):
+        spmd = Spmd2D(axis_x="x", axis_y="y", n_x=nx_mesh, n_y=ny_mesh,
+                      nx_global=Nx, fold_mode=mode)
+
+        def fill(Sg):
+            # slice the local halo-inclusive block from the global array
+            iy = jax.lax.axis_index("y")
+            ix = jax.lax.axis_index("x")
+            loc = jax.lax.dynamic_slice(
+                Sg, (jnp.int32(0), iy * nyl, ix * nxl),
+                (K, nyl + 2 * Hy, nxl + 2 * Hx))
+            return fill_halos_spmd2d_batch(loc, locs, signs, nxl, nyl, Hx, Hy,
+                                           spmd)
+
+        out = jax.jit(jax.shard_map(
+            fill, mesh=mesh, in_specs=P(), out_specs=P(None, "y", "x")))(S)
+        return np.asarray(out)
+
+    a = run("gather")
+    b = run("mirror")
+    np.testing.assert_array_equal(a, b)
+    assert Spmd2D(n_x=8, fold_mode="auto").resolved_fold_mode == "mirror"
+    assert Spmd2D(n_x=4, fold_mode="auto").resolved_fold_mode == "gather"
+
+
+def test_2d_mirror_fold_step_matches_serial():
+    """End-to-end: one 2-D sharded step with fold_mode='mirror' equals serial."""
+    model, state = model_2d()
+    mesh = make_mesh2d(4, 2)
+    dist_model, dist_state = distribute2d(model, state, mesh)
+    fn = sharded_step_fn2d(mesh, dist_model, model.grid.Nx, fold_mode="mirror")
+    ss, ds = state, dist_state
+    sj = jax.jit(step)
+    for _ in range(2):
+        ss = sj(model, ss, 60.0)
+        ds = fn(ds, 60.0)
+    got = gather_state2d(ds, model, mesh)
+    g = model.grid
+    for name in ("u", "v", "c"):
+        np.testing.assert_allclose(
+            np.asarray(g.interior(getattr(got, name))),
+            np.asarray(g.interior(getattr(ss, name))), rtol=0, atol=1e-13,
+            err_msg=name)

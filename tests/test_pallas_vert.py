@@ -27,20 +27,24 @@ def _mk(nz, n_tr, Yb, Xb, dtype, seed=0):
     def r(shape, lo=0.0, hi=1.0):
         return jnp.asarray(lo + (hi - lo) * rng.random(shape), dtype)
 
-    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dtype)
-    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dtype)
-    c = jnp.asarray(rng.standard_normal((n_tr * nz, Yb, Xb)), dtype)
-    au = r((nz, Yb, Xb), 0.5, 1.5)
-    av = r((nz, Yb, Xb), 0.5, 1.5)
     mc = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dtype)
     mu = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dtype)
     mv = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dtype)
+    # kernel contract: u/v are MASKED prognostics (zero on land)
+    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dtype) * mu
+    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dtype) * mv
+    c = jnp.asarray(rng.standard_normal((n_tr * nz, Yb, Xb)), dtype)
+    dy_fc = r((Yb, Xb), 0.5, 1.5)
+    dx_cf = r((Yb, Xb), 0.5, 1.5)
+    dz = tuple(50.0 * 1.5 ** k for k in range(nz))
+    dzc = tuple(0.5 * (dz[k] + dz[k + 1]) for k in range(nz - 1))
+    dz3 = jnp.asarray(dz, dtype).reshape(-1, 1, 1)
+    au = dz3 * mu * dy_fc   # what the XLA formulation carries (dzu * dy_fc)
+    av = dz3 * mv * dx_cf
     iaz = r((Yb, Xb), 0.5, 1.5)
     idx = r((Yb, Xb), 0.5, 1.5)
     idy = r((Yb, Xb), 0.5, 1.5)
-    dz = tuple(50.0 * 1.5 ** k for k in range(nz))
-    dzc = tuple(0.5 * (dz[k] + dz[k + 1]) for k in range(nz - 1))
-    return u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc
+    return u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dy_fc, dx_cf, dz, dzc
 
 
 def _w_full(u, v, au, av, iaz):
@@ -85,13 +89,13 @@ def _xla_ref(u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc, *,
 def test_vertical_matches_xla_full_config(dtype, rtol, block_rows):
     """Full benchmark configuration: linear EOS (T/S), explicit nu_v/kappa_v."""
     nz, n_tr, Yb, Xb = 4, 2, 72, 96
-    u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc = _mk(
+    u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dy_fc, dx_cf, dz, dzc = _mk(
         nz, n_tr, Yb, Xb, dtype)
     eos = (9.81, 1.67e-4, 7.8e-4, 10.0, 35.0)
     kw = dict(mode="linear_eos", nu_v=1e-3, kappa_v=1e-5, eos=eos)
     want = _xla_ref(u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc, **kw)
-    spack = pack_vert_statics(au, av, mc, mu, mv)
-    gpack = jnp.stack([iaz, idx, idy])
+    spack = pack_vert_statics(mc, mu, mv)
+    gpack = jnp.stack([iaz, idx, idy, dy_fc, dx_cf])
     got = vertical_pallas(u, v, c, spack, gpack, dz=dz, dzc=dzc,
                           mode="linear_eos", g_b=eos[0], alpha=eos[1],
                           beta=eos[2], T0=eos[3], S0=eos[4], it_T=0, it_S=1,
@@ -108,16 +112,16 @@ def test_vertical_matches_xla_full_config(dtype, rtol, block_rows):
 
 def test_vertical_matches_xla_tracer_b():
     """Prognostic-buoyancy mode: b rides as the LAST tracer block and sources
-    the pressure directly; no u/v masks (S=3), no explicit mixing."""
+    the pressure directly; no u/v masks (S=1), no explicit mixing."""
     dtype = jnp.float64
     nz, n_tr, Yb, Xb = 3, 2, 40, 64  # tracer block 0 = c, block 1 = b
-    u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc = _mk(
+    u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dy_fc, dx_cf, dz, dzc = _mk(
         nz, n_tr, Yb, Xb, dtype, seed=7)
     eos = (9.81, 0.0, 0.0, 0.0, 0.0)
     want = _xla_ref(u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc,
                     mode="tracer_b", nu_v=0.0, kappa_v=0.0, eos=eos)
-    spack = pack_vert_statics(au, av, mc)
-    gpack = jnp.stack([iaz, idx, idy])
+    spack = pack_vert_statics(mc)
+    gpack = jnp.stack([iaz, idx, idy, dy_fc, dx_cf])
     got = vertical_pallas(u, v, c, spack, gpack, dz=dz, dzc=dzc,
                           mode="tracer_b", it_B=1, interpret=True)
     I = (slice(None), slice(1, Yb - 1), slice(1, Xb - 1))
@@ -133,12 +137,12 @@ def test_vertical_no_buoyancy_single_tracer():
     """mode='none', one tracer, no mixing — the minimal configuration."""
     dtype = jnp.float64
     nz, n_tr, Yb, Xb = 5, 1, 48, 64
-    u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc = _mk(
+    u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dy_fc, dx_cf, dz, dzc = _mk(
         nz, n_tr, Yb, Xb, dtype, seed=3)
     want = _xla_ref(u, v, c, au, av, mc, mu, mv, iaz, idx, idy, dz, dzc,
                     mode="none", nu_v=0.0, kappa_v=0.0, eos=None)
-    spack = pack_vert_statics(au, av, mc)
-    gpack = jnp.stack([iaz, idx, idy])
+    spack = pack_vert_statics(mc)
+    gpack = jnp.stack([iaz, idx, idy, dy_fc, dx_cf])
     got = vertical_pallas(u, v, c, spack, gpack, dz=dz, dzc=dzc,
                           interpret=True, block_rows=16)
     I = (slice(None), slice(1, Yb - 1), slice(1, Xb - 1))

@@ -22,18 +22,17 @@ def _mk(nz, n_tr, Yb, Xb, seed=0):
     def r(shape, lo=0.0, hi=1.0):
         return jnp.asarray(lo + (hi - lo) * rng.random(shape), dt)
 
-    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dt)
-    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dt)
-    c = jnp.asarray(rng.standard_normal((n_tr * nz, Yb, Xb)), dt)
-    au = r((nz, Yb, Xb), 0.5, 1.5)
-    av = r((nz, Yb, Xb), 0.5, 1.5)
     mc = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dt)
     mu = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dt)
     mv = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, dt)
-    gpack = jnp.stack([r((Yb, Xb), 0.5, 1.5) for _ in range(3)])
+    # kernel contract: u/v are MASKED prognostics (zero on land)
+    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dt) * mu
+    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), dt) * mv
+    c = jnp.asarray(rng.standard_normal((n_tr * nz, Yb, Xb)), dt)
+    gpack = jnp.stack([r((Yb, Xb), 0.5, 1.5) for _ in range(5)])
     dz = tuple(50.0 * 1.5 ** k for k in range(nz))
     dzc = tuple(0.5 * (dz[k] + dz[k + 1]) for k in range(nz - 1))
-    return u, v, c, au, av, mc, mu, mv, gpack, dz, dzc
+    return u, v, c, mc, mu, mv, gpack, dz, dzc
 
 
 @pytest.mark.parametrize("block_rows", [None, 24])
@@ -42,8 +41,8 @@ def test_vertical_compiled_matches_interpret(block_rows):
     full benchmark configuration (linear EOS + explicit nu_v/kappa_v), both
     single-window (block_rows=None at this size) and multi-window geometry."""
     nz, n_tr, Yb, Xb = 4, 2, 120, 140
-    u, v, c, au, av, mc, mu, mv, gpack, dz, dzc = _mk(nz, n_tr, Yb, Xb)
-    spack = pack_vert_statics(au, av, mc, mu, mv)
+    u, v, c, mc, mu, mv, gpack, dz, dzc = _mk(nz, n_tr, Yb, Xb)
+    spack = pack_vert_statics(mc, mu, mv)
     kw = dict(dz=dz, dzc=dzc, mode="linear_eos", g_b=9.81, alpha=1.67e-4,
               beta=7.8e-4, T0=10.0, S0=35.0, it_T=0, it_S=1,
               nu_v=1e-3, kappa_v=1e-5, block_rows=block_rows)
