@@ -276,17 +276,21 @@ def make_model(
     block_rows: int | None = None,  # barotropic Pallas kernel row-block override
                             # (default: ops/pallas_baro.auto_block_rows minimizes
                             # total processed rows under the VMEM budget)
-    tend_kernels: bool = False,  # opt-in: route the horizontal tendency slices
+    tend_kernels: bool | None = None,  # route the horizontal tendency slices
                             # through the VMEM-resident Pallas window kernels.
-                            # NEGATIVE RESULT for the single-layer engine (kept
-                            # so it isn't retried): at the 1/4-degree benchmark
-                            # config the kernels measure 738 vs 653 us/step —
-                            # the XLA-fused tendencies are already issue-bound
-                            # at ~225 us and the per-window DMA of 10+ operand
-                            # planes costs more than the roll materialization
-                            # it avoids at Nz=1 with no closures. The LAYERED
-                            # engine (Nz>1, closures on) wins 18.1 -> ~14 ms
-                            # with the same kernels and defaults to them.
+                            # Default (None): ON iff a fused closure is active
+                            # (nu_h/kappa_h > 0 or quadratic drag) — the
+                            # round-5 crossover measurement
+                            # (benchmarks/tend_kernels_crossover.py, v5e,
+                            # 1/4-degree, differential, interleaved repeats):
+                            # closures on = 719-849 us/step XLA vs 484-555 us
+                            # kernels (~35% win — the Laplacians and drag ride
+                            # in already-resident windows); plain config =
+                            # 659 vs 631 us (parity-to-slight-win on the
+                            # round-5 tunnel state; round 4 measured 653 vs
+                            # 738, a loss, on its state — the XLA path is at
+                            # its op-mix speed of light there, so the default
+                            # stays OFF without closures).
 ) -> HydrostaticModel:
     """Assemble the model: widen the free-surface grid's y-halo per the split-explicit
     rule (with_halo; Hy_ext = len(weights)+1, test/runtests.jl:58-71), precompute
@@ -412,6 +416,10 @@ def make_model(
     if use_pallas is None:
         backend = jax.default_backend()
         use_pallas = backend not in ("cpu", "gpu")
+    if tend_kernels is None:
+        # see the parameter doc: kernels win when they fuse active closures
+        tend_kernels = nu_h > 0.0 or kappa_h > 0.0 or (
+            bottom_drag is not None and bottom_drag[0] == "quadratic")
 
     # Operand packs for the VMEM-resident tendency kernels (ops/pallas_mom.py,
     # ops/pallas_adv.py) — one fused jit, same rationale as _derived. The packs
@@ -832,29 +840,24 @@ def split_tendencies(model, groups, locs, signs, spmd, tend_from_groups, t):
     the unsplit step (tests/test_distributed{,2d}.py).
 
     ``groups``: list of (K_i, y, x) plane stacks, each with a UNIFORM (loc, sign)
-    from ``locs``/``signs``. On the 1-D mesh the exchange is STRIP-BASED
-    (ops/spmd.fill_halos_spmd_groups): no full-plane concatenation is ever
-    materialized — the round-4 verdict's layered concat-tax item. The 2-D mesh
-    still concatenates internally (its fold gather operates on the stack).
+    from ``locs``/``signs``. On BOTH mesh shapes the exchange is STRIP-BASED
+    (ops/spmd.fill_halos_spmd_groups / ops/spmd2d.fill_halos_spmd2d_groups):
+    no full-plane concatenation is ever materialized — the round-4 verdict's
+    layered concat-tax item.
 
     ``tend_from_groups(model_view, group_views, t)`` maps a (row- or column-
     sliced) model view and matching slices of the filled groups to a tuple of
     tendency arrays. Returns (G_tuple, groups_full)."""
     from ..ops.spmd import fill_halos_spmd_groups
+    from ..ops.spmd2d import fill_halos_spmd2d_groups
 
     g = model.grid
     Hy, ny = g.Hy, g.Ny  # local sizes inside shard_map
     two_d = isinstance(spmd, Spmd2D)
-    Ks = [gr.shape[0] for gr in groups]
-    splits = np.cumsum(Ks)[:-1].tolist()
 
     if two_d:
-        S0 = jnp.concatenate(groups, axis=0)
-        flat_locs = [l for l, K in zip(locs, Ks) for _ in range(K)]
-        flat_signs = [s for s, K in zip(signs, Ks) for _ in range(K)]
-        S_full = fill_halos_spmd2d_batch(S0, flat_locs, flat_signs, g.Nx, ny,
-                                         g.Hx, Hy, spmd)
-        groups_full = jnp.split(S_full, splits, axis=0)
+        groups_full = fill_halos_spmd2d_groups(groups, locs, signs, g.Nx, ny,
+                                               g.Hx, Hy, spmd)
         groups_stale = groups  # x halos are remote under an x-partition
     else:
         groups_full = fill_halos_spmd_groups(groups, locs, signs, g.Nx, ny,

@@ -811,6 +811,24 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     return Gu, Gv, Gc, Gb
 
 
+def _sharded_group_fill(spmd):
+    """Strip-based group-fill closure for a sharded mesh (1-D ``Spmd`` or 2-D
+    ``Spmd2D``), or None when the run is serial (batch/pallas fills apply).
+    The closure maps (groups, locs, signs, grid) -> filled groups with ZERO
+    full-plane concats (ops/spmd.fill_halos_spmd_groups and the 2-D
+    counterpart)."""
+    from ..ops.spmd import Spmd, fill_halos_spmd_groups
+    from ..ops.spmd2d import fill_halos_spmd2d_groups
+
+    if isinstance(spmd, Spmd) and spmd.n_shards > 1:
+        return lambda groups, locs, signs, g: fill_halos_spmd_groups(
+            groups, locs, signs, g.Nx, g.Ny, g.Hx, g.Hy, spmd)
+    if isinstance(spmd, Spmd2D) and spmd.n_x * spmd.n_y > 1:
+        return lambda groups, locs, signs, g: fill_halos_spmd2d_groups(
+            groups, locs, signs, g.Nx, g.Ny, g.Hx, g.Hy, spmd)
+    return None
+
+
 def _fill3(model: LayeredModel, A, loc, sign, spmd=None):
     """Halo fill of an (Nz, Yb, Xb) stack — every zipper/ppermute op broadcasts over
     the leading layer axis. Serial / 1-D Spmd / 2-D Spmd2D all supported (the 2-D
@@ -918,13 +936,11 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
     if overlap:
         # free-surface fields exchanged first — like the prognostic exchange inside
         # the split, this collective has no dependence on the bulk stencil pass
-        from ..ops.spmd import Spmd as _Spmd
-        from ..ops.spmd import fill_halos_spmd_groups as _fill_groups
-
-        if isinstance(spmd, _Spmd) and spmd.n_shards > 1:
-            eta_f, U_f, V_f = (a[0] for a in _fill_groups(
+        fill_groups = _sharded_group_fill(spmd)
+        if fill_groups is not None:
+            eta_f, U_f, V_f = (a[0] for a in fill_groups(
                 [state.eta[None], state.U[None], state.V[None]],
-                [CC, FC, CF], [1, -1, -1], ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd))
+                [CC, FC, CF], [1, -1, -1], ge))
         else:
             SE3 = _fill_batch(ge, jnp.stack([state.eta, state.U, state.V]),
                               [CC, FC, CF], [1, -1, -1], spmd)
@@ -956,28 +972,26 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
         U_f = _fill(ge, state.U, FC, -1)
         V_f = _fill(ge, state.V, CF, -1)
     else:
-        from ..ops.spmd import Spmd, fill_halos_spmd_groups
-
-        if isinstance(spmd, Spmd) and spmd.n_shards > 1:
-            # 1-D mesh: STRIP-BASED group exchange — one collective pair for
-            # every baroclinic prognostic with zero full-plane concats
-            # (round-4 verdict item 4; the concat round-trips were ~15% of
-            # the serial step at 1/4°×10)
+        fill_groups = _sharded_group_fill(spmd)
+        if fill_groups is not None:
+            # sharded mesh (1-D or 2-D): STRIP-BASED group exchange — same
+            # collective count as the batched path with zero full-plane
+            # concats (round-4 verdict item 4; the concat round-trips were
+            # ~15% of the serial step at 1/4°×10)
             groups = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
             glocs = [FC, CF, CC] + ([CC] if model.has_b else [])
             gsigns = [-1, -1, 1] + ([1] if model.has_b else [])
-            filled = fill_halos_spmd_groups(groups, glocs, gsigns, g.Nx, g.Ny,
-                                            g.Hx, g.Hy, spmd)
+            filled = fill_groups(groups, glocs, gsigns, g)
             u, v, c = filled[0], filled[1], filled[2]
             b = filled[3] if model.has_b else state.b
 
             # free-surface fields exchanged early (overlappable with the
             # tendency stencils); 1-plane groups — no stack/unstack copies
-            eta_f, U_f, V_f = (a[0] for a in fill_halos_spmd_groups(
+            eta_f, U_f, V_f = (a[0] for a in fill_groups(
                 [state.eta[None], state.U[None], state.V[None]],
-                [CC, FC, CF], [1, -1, -1], ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd))
+                [CC, FC, CF], [1, -1, -1], ge))
         else:
-            # serial batch mode / 2-D mesh: one batched fill of the plane stack
+            # serial batch mode: one batched fill of the plane stack
             planes = [state.u, state.v, state.c] + ([state.b] if model.has_b else [])
             locs = [FC] * nz + [CF] * nz + [CC] * (ncp + (nz if model.has_b else 0))
             signs = [-1] * nz + [-1] * nz + [1] * (ncp + (nz if model.has_b else 0))
@@ -1026,13 +1040,10 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
         GU_f = _fill(ge, GU0, FC, -1)
         GV_f = _fill(ge, GV0, CF, -1)
     else:
-        from ..ops.spmd import Spmd as _Spmd
-        from ..ops.spmd import fill_halos_spmd_groups as _fill_groups
-
-        if isinstance(spmd, _Spmd) and spmd.n_shards > 1:
-            GU_f, GV_f = (a[0] for a in _fill_groups(
-                [GU0[None], GV0[None]], [FC, CF], [-1, -1],
-                ge.Nx, ge.Ny, ge.Hx, ge.Hy, spmd))
+        fill_groups = _sharded_group_fill(spmd)
+        if fill_groups is not None:
+            GU_f, GV_f = (a[0] for a in fill_groups(
+                [GU0[None], GV0[None]], [FC, CF], [-1, -1], ge))
         else:
             SG = _fill_batch(ge, jnp.stack([GU0, GV0]), [FC, CF], [-1, -1], spmd)
             GU_f, GV_f = SG[0], SG[1]
