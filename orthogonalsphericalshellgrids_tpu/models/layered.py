@@ -59,6 +59,19 @@ __all__ = [
     "layered_step", "layered_multi_step", "vertical_velocity", "layered_cfl_dt",
 ]
 
+# Switch for the fused predictor/corrector Pallas pass (ops/pallas_corr.py).
+# NEGATIVE RESULT, round 5 (kept opt-in so it isn't retried): a clean
+# interleaved A/B through bench_layered.py on v5e measured the kernel at
+# 0.737 G pts/s (probes 682-734 GB/s) vs 0.835 G (probes 620-705) for the XLA
+# chain — a ~1.6 ms/step LOSS. The XLA glue fuses into its producers/consumers
+# (the AB2 extrapolation, masks and updates never materialize as separate
+# passes), while the kernel forces a hard boundary: 13 operand stacks must
+# materialize and re-stream through its block pipeline. Same mechanism as the
+# round-2 fused-tendency negative result. Set OSG_CORR_KERNEL=1 to re-measure.
+import os as _os
+
+USE_CORR_KERNEL = _os.environ.get("OSG_CORR_KERNEL", "0") == "1"
+
 
 # --------------------------------------------------------------------------------------
 # Pytrees
@@ -1055,7 +1068,37 @@ def layered_step(model: LayeredModel, state: LayeredState, dt, spmd=None,
 
     # split-explicit corrector: predictor layers, then replace the depth mean
     # (u0/v0/c0/b0 are the unfilled prognostics: state.* directly, or their
-    # strip-restored bitwise reconstruction on the aliased-Pallas fill path)
+    # strip-restored bitwise reconstruction on the aliased-Pallas fill path).
+    # Opt-in (OSG_CORR_KERNEL=1 — measured LOSS, see USE_CORR_KERNEL): the
+    # whole AB2 predictor + corrector + tracer-update glue as ONE row-blocked
+    # Pallas pass (ops/pallas_corr.py); vertical-implicit configurations keep
+    # the XLA chain either way (the Thomas solve sits between predictor and
+    # corrector there).
+    use_corr_kernel = USE_CORR_KERNEL and m.use_pallas and not (
+        model.vert_impl and (model.nu_v > 0.0 or model.kappa_v > 0.0))
+    if use_corr_kernel:
+        from ..ops.pallas_corr import corrector_pallas
+
+        cc0 = jnp.concatenate([c0, b0], axis=0) if model.has_b else c0
+        gcc = jnp.concatenate([Gc, Gb], axis=0) if model.has_b else Gc
+        gcco = (jnp.concatenate([state.Gc, state.Gb], axis=0)
+                if model.has_b else state.Gc)
+        u_new, v_new, cb_new = corrector_pallas(
+            u0, Gu, state.Gu, v0, Gv, state.Gv, cc0, gcc, gcco,
+            model.dzu, model.dzv, model.mask_c3,
+            model.inv_h_u, model.inv_h_v,
+            crop_ext(g, ge, U_a), crop_ext(g, ge, V_a),
+            w1, w2, dt, interpret=_fill_interpret())
+        if model.has_b:
+            c_new, b_new = cb_new[: state.c.shape[0]], cb_new[state.c.shape[0]:]
+        else:
+            c_new, b_new = cb_new, state.b
+        return LayeredState(
+            u=u_new, v=v_new, eta=eta_a, U=U_a, V=V_a, c=c_new, b=b_new,
+            Gu=Gu, Gv=Gv, Gc=Gc, Gb=Gb if model.has_b else state.Gb,
+            t=state.t + dt, iteration=state.iteration + 1,
+        )
+
     u_star = (u0 + dt * Gu_s) * model.mask_u3
     v_star = (v0 + dt * Gv_s) * model.mask_v3
     if model.vert_impl and model.nu_v > 0.0:

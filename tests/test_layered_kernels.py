@@ -127,6 +127,66 @@ def test_layered_step_kernel_on_vs_off_band():
                                rtol=1e-11, atol=1e-13)
 
 
+def test_layered_step_kernel_band_tracer_b():
+    """Kernels on vs off with the PROGNOSTIC-buoyancy mode (tracer_b): b rides
+    as appended tracer planes through the vert and corrector kernels."""
+    grid = osg.TripolarGrid.make((48, 32, 3), dtype=jnp.float64,
+                                 z=(-1000.0, 0.0),
+                                 first_pole_longitude=LAM_P,
+                                 north_poles_latitude=PHI_P)
+    cfg = dict(free_surface=SplitExplicitFreeSurface(substeps=6),
+               bottom_height=bottom, buoyancy=True, coriolis=True,
+               nu_h=5e3, kappa_h=1e2, nu_v=1e-3, kappa_v=1e-5,
+               bottom_drag=("quadratic", 2.5e-3))
+    mk = make_layered_model(grid, use_pallas=True, **cfg)
+    mx = make_layered_model(grid, use_pallas=False, **cfg)
+    state = layered_initial_state(
+        mk,
+        u=lambda lam, phi, z: 1.0 / np.cosh(np.deg2rad(phi) * 8) ** 2,
+        c=lambda lam, phi, z: np.sin(np.deg2rad(phi) * 4),
+        b=lambda lam, phi, z: 1e-5 * z + 1e-4 * np.sin(np.deg2rad(lam)),
+    )
+    sk = sx = state
+    jk = jax.jit(lambda m, s: layered_step(m, s, 60.0))
+    for _ in range(2):
+        sk = jk(mk, sk)
+        sx = jk(mx, sx)
+    g = mk.grid
+    I3 = (slice(None),) + g.interior2d
+    for name in ("u", "v", "c", "b"):
+        a = np.asarray(getattr(sk, name)[I3])
+        w = np.asarray(getattr(sx, name)[I3])
+        np.testing.assert_allclose(a, w, rtol=1e-11,
+                                   atol=1e-11 * max(np.abs(w).max(), 1.0),
+                                   err_msg=name)
+
+
+def test_layered_step_corr_kernel_band():
+    """The opt-in fused predictor/corrector pass (ops/pallas_corr.py — a
+    measured NEGATIVE result kept in-tree, see layered.USE_CORR_KERNEL) must
+    still be numerically correct end-to-end."""
+    from orthogonalsphericalshellgrids_tpu.models import layered as L
+
+    mk, _, state = _models()
+    jk = jax.jit(lambda m, s: layered_step(m, s, 60.0))
+    old = L.USE_CORR_KERNEL
+    try:
+        L.USE_CORR_KERNEL = False
+        s_off = jk(mk, state)
+        L.USE_CORR_KERNEL = True
+        s_on = jax.jit(lambda m, s: layered_step(m, s, 60.0))(mk, state)
+    finally:
+        L.USE_CORR_KERNEL = old
+    g = mk.grid
+    I3 = (slice(None),) + g.interior2d
+    for name in ("u", "v", "c"):
+        a = np.asarray(getattr(s_on, name)[I3])
+        w = np.asarray(getattr(s_off, name)[I3])
+        np.testing.assert_allclose(a, w, rtol=1e-12,
+                                   atol=1e-12 * max(np.abs(w).max(), 1.0),
+                                   err_msg=name)
+
+
 @pytest.mark.parametrize("mesh_shape", ["1d", "2d"])
 def test_sharded_layered_kernel_path_matches_serial(mesh_shape):
     """layered_step with the Pallas kernels FORCED ON under shard_map (1-D and
