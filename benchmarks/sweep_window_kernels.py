@@ -50,30 +50,40 @@ def adv(x, br):
 
 
 def mom(x, br):
+    # packs ride in the carry: closure-captured arrays embed as HLO constants
+    # and 413 the remote-compile tunnel (make_model's _kernel_packs note)
     from orthogonalsphericalshellgrids_tpu.ops.pallas_mom import momentum_pallas
 
-    uu, vv = x
-    gu, gv = momentum_pallas(uu, vv, model.mom_static, model.mom_lay,
+    uu, vv, ms, ml = x
+    gu, gv = momentum_pallas(uu, vv, ms, ml,
                              has_lap=m.nu_h > 0.0, has_drag=True,
                              block_rows=br)
-    return (gu, gv)
+    return (gu, gv, ms, ml)
 
 
 def vert(x, br):
     from orthogonalsphericalshellgrids_tpu.ops.pallas_vert import vertical_pallas
 
-    uu, vv, cq = x
+    uu, vv, cq, vp, vg = x
     names = model.tracer_names
     dgu, dgv, dgc = vertical_pallas(
-        uu, vv, cq, model.vert_pack, model.vert_g, dz=model.dz, dzc=model.dzc,
+        uu, vv, cq, vp, vg, dz=model.dz, dzc=model.dzc,
         mode=model.buoyancy, g_b=model.g_b, alpha=model.alpha_T,
         beta=model.beta_S, T0=model.T0, S0=model.S0,
         it_T=names.index("T"), it_S=names.index("S"),
         nu_v=model.nu_v, kappa_v=model.kappa_v, block_rows=br)
-    return (dgu, dgv, dgc)
+    return (dgu, dgv, dgc, vp, vg)
 
 
 if __name__ == "__main__":
-    sweep("adv", adv, [48, 80, 104, 128, 160, None], (c, u, v))
-    sweep("mom", mom, [48, 80, 104, 128, 160, 232, None], (u, v))
-    sweep("vert", vert, [16, 24, 32, 40, 48, None], (u, v, c))
+    import sys as _s
+
+    which = _s.argv[1] if len(_s.argv) > 1 else "all"
+    if which in ("adv", "all"):
+        sweep("adv", adv, [48, 80, 104, 128, 160, None], (c, u, v))
+    if which in ("mom", "all"):
+        sweep("mom", mom, [64, 104, 152, 232, None],
+              (u, v, model.mom_static, model.mom_lay))
+    if which in ("vert", "all"):
+        sweep("vert", vert, [16, 24, 32, 40, None],
+              (u, v, c, model.vert_pack, model.vert_g))

@@ -42,7 +42,7 @@ import numpy as np
 from ..grids.tripolar import TripolarGrid
 from ..ops import zipper
 from ..ops.closures import _ratio as _cratio
-from ..ops.pallas_adv import pack_adv_statics as _adv_pack
+from ..ops.pallas_adv import pack_adv_statics_layered as _adv_pack
 from ..ops.advection import (centered_faces_from_centers, tracer_faces,
                              weno5_upwind_centers_from_faces,
                              weno5_upwind_faces_from_centers)
@@ -118,9 +118,10 @@ class LayeredModel:
     bot_u: Any
     bot_v: Any
     # prefactored static planes for the VMEM-resident tracer-advection kernel,
-    # stacked layer-major by ops/pallas_adv.pack_adv_statics: per layer
-    # [A_u = dzu*dy_fc, A_v = dzv*dx_cf, IV = mask/(az*dz)] (+ the fused
-    # kappa_h Laplacian factors [K_u, K_v, K_c] when kappa_h > 0)
+    # stacked layer-major by ops/pallas_adv.pack_adv_statics_layered: per layer
+    # [IV = mask/(az*dz)] (+ the fused kappa_h Laplacian factors
+    # [K_u, K_v, K_c] when kappa_h > 0); the flux factors ride as the global
+    # dy_fc/dx_cf planes in vert_g + the static dz (masked-velocity identity)
     adv_pack: Any
     # momentum-kernel operand packs (ops/pallas_mom.py): (8, Yb, Xb) static
     # metric planes; (Nz, L, Yb, Xb) per-layer Laplacian/drag factors (or None)
@@ -357,8 +358,6 @@ def make_layered_model(
         vert_pack=vert_pack,
         vert_g=vert_g,
         adv_pack=_adv_pack(
-            dzu * grid.dy_fc,
-            dzv * grid.dx_cf,
             mask_c3 * _inv(grid.az_cc * dz3),
             (kappa_h * _cratio(grid.dy_fc, grid.dx_fc) * mask_u3
              if kappa_h > 0.0 else None),
@@ -767,6 +766,7 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
             # planes) — the separate closure block below is skipped here
             P3 = cq.reshape((-1,) + cq.shape[-2:])
             G = tracer_adv_pallas(P3, u, v, statics_packed=model.adv_pack,
+                                  g_pack=model.vert_g[3:5], dz=model.dz,
                                   interpret=_fill_interpret()).reshape(cq.shape)
         else:
             cx = tracer_faces(cq, u, axis=-1, scheme=m.tracer_advection)

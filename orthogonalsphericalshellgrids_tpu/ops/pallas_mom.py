@@ -19,16 +19,22 @@ plus optionally (prefactored per-layer planes): the advective-mask multiply
 bottom drag. The pressure-gradient, vertical-advection and wind terms stay in
 XLA — they couple layers and are cheap.
 
-Round-4 v2 pipeline (same redesign as ops/pallas_adv.py): grid = (Nz,), row
-blocks as a STATIC in-kernel loop with two buffer slots so block j+1's windows
-fetch while block j computes and finished blocks drain by async output copies.
-The micro-probe behind this: synchronous per-program window DMA serializes
-against compute (they ADD), costing the v1 design ~40% of its runtime.
+Round-5 v3 pipeline: grid = (n_prog, Nz) — row blocks OUTER, layers INNER —
+with cross-program double buffering of the per-layer operands (u, v, lay
+slab; TPU grid programs run sequentially and scratch persists across them,
+the ops/pallas_vert.py pattern). The 8 STATIC metric planes are 2-D (shared
+by every layer), so they are fetched ONCE per row block (at layer 0) and
+reused from scratch for all Nz layer programs — in the round-4 v2 layout
+(grid = (Nz,), row blocks inner) they were re-streamed once per layer, ~40%
+of the kernel's input traffic at the 1/4-degree x 10 benchmark (isolated
+kernel measured 2.9 ms, DMA-bound). Round-4 v2's own lesson (synchronous
+per-program window DMA serializes against compute) is kept: per-layer
+operands prefetch one program ahead.
 
-All shifts are `pltpu.roll` (y reach <= 5 < 8 overlap rows; window starts are
-Python ints, provably aligned). Validity: cells within 5 rows/columns of the
-edge are garbage — the usual halo contract. Parity pinned in
-tests/test_pallas_mom.py (contraction-band tolerances).
+All shifts are `pltpu.roll` (y reach <= 5 < 8 overlap rows). Validity: cells
+within 5 rows/columns of the edge are garbage — the usual halo contract.
+Parity pinned in tests/test_pallas_mom.py (contraction-band tolerances) and
+compiled in tests_tpu/test_pallas_mom_tpu.py.
 """
 
 from __future__ import annotations
@@ -44,7 +50,10 @@ from .advection import _weno5_left
 
 __all__ = ["momentum_pallas", "DEFAULT_BLOCK_ROWS_MOM"]
 
-DEFAULT_BLOCK_ROWS_MOM = 104
+# v3 sweep on v5e at 1/4-degree x 10 (probe 619 GB/s): 232 > 152 > 64 > 104
+# (2504/2736/2867/2926 us isolated) — bigger blocks amortize the per-block
+# statics fetch; B=344 would need a 66 MB window (over budget at W=360).
+DEFAULT_BLOCK_ROWS_MOM = 232
 _OV = 8
 
 
@@ -59,40 +68,82 @@ def _geometry(Yb, block_rows):
 
 
 def _kernel(u_ref, v_ref, static_ref, *rest,
-            n_lay, B, W, n_prog, Yb_pad, Xb, has_mask, has_lap, has_drag):
+            nz, n_lay, B, W, n_prog, Yb_pad, Xb, has_mask, has_lap, has_drag):
     if n_lay:
-        lay_ref, gu_out, gv_out, ubuf, vbuf, sbuf, lbuf, gubuf, gvbuf, \
-            in_sems, out_sems = rest
+        lay_ref, gu_out, gv_out, ubuf, vbuf, sbuf, lbuf, obuf, \
+            in_sems, s_sem, out_sem = rest
     else:
-        gu_out, gv_out, ubuf, vbuf, sbuf, gubuf, gvbuf, in_sems, out_sems = rest
+        gu_out, gv_out, ubuf, vbuf, sbuf, obuf, in_sems, s_sem, out_sem = rest
         lay_ref = lbuf = None
-    k = pl.program_id(0)
+    j = pl.program_id(0)  # row block (outer)
+    k = pl.program_id(1)  # layer (inner)
+    p = j * nz + k
+    slot = jax.lax.rem(p, jnp.int32(2))
 
-    def _start(j):
-        return min(max(j * B - _OV, 0), Yb_pad - W)
+    def _rows(jj):
+        start = jnp.clip(jj * B - _OV, 0, Yb_pad - W)
+        return pl.ds(pl.multiple_of(start, 8), W)
 
-    def in_dmas(j, slot):
-        rows = pl.ds(_start(j), W)
-        dmas = [pltpu.make_async_copy(u_ref.at[k, rows, :], ubuf.at[slot],
-                                      in_sems.at[slot, 0]),
-                pltpu.make_async_copy(v_ref.at[k, rows, :], vbuf.at[slot],
-                                      in_sems.at[slot, 1]),
-                pltpu.make_async_copy(static_ref.at[:, rows, :], sbuf.at[slot],
-                                      in_sems.at[slot, 2])]
+    def in_dmas(jj, kk, sl):
+        rows = _rows(jj)
+        dmas = [pltpu.make_async_copy(u_ref.at[kk, rows, :], ubuf.at[sl],
+                                      in_sems.at[sl, 0]),
+                pltpu.make_async_copy(v_ref.at[kk, rows, :], vbuf.at[sl],
+                                      in_sems.at[sl, 1])]
         if n_lay:
             dmas.append(pltpu.make_async_copy(
-                lay_ref.at[pl.ds(k * n_lay, n_lay), rows, :], lbuf.at[slot],
-                in_sems.at[slot, 3]))
+                lay_ref.at[pl.ds(kk * n_lay, n_lay), rows, :], lbuf.at[sl],
+                in_sems.at[sl, 2]))
         return dmas
 
-    def out_dmas(j, slot):
-        off = j * B - _start(j)
-        return [pltpu.make_async_copy(
-                    gubuf.at[slot, pl.ds(off, B), :],
-                    gu_out.at[k, pl.ds(j * B, B), :], out_sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    gvbuf.at[slot, pl.ds(off, B), :],
-                    gv_out.at[k, pl.ds(j * B, B), :], out_sems.at[slot, 1])]
+    def out_dmas(jj, kk):
+        start = jnp.clip(jj * B - _OV, 0, Yb_pad - W)
+        start = pl.multiple_of(start, 8)
+        off = pl.multiple_of(jj * B - start, 8)
+        rows_out = pl.ds(jj * B, B)
+        return [pltpu.make_async_copy(obuf.at[0, pl.ds(off, B), :],
+                                      gu_out.at[kk, rows_out, :],
+                                      out_sem.at[0]),
+                pltpu.make_async_copy(obuf.at[1, pl.ds(off, B), :],
+                                      gv_out.at[kk, rows_out, :],
+                                      out_sem.at[1])]
+
+    # cold start: program (0, 0) fetches its own per-layer windows
+    @pl.when(p == 0)
+    def _():
+        for d in in_dmas(0, 0, 0):
+            d.start()
+
+    # the 2-D static metric planes are shared by every layer: fetch once per
+    # row block (at k == 0, synchronous — ~one window of 8 planes per block)
+    # and reuse from scratch for all Nz layer programs
+    @pl.when(k == 0)
+    def _():
+        dma = pltpu.make_async_copy(static_ref.at[:, _rows(j), :], sbuf, s_sem)
+        dma.start()
+        dma.wait()
+
+    for d in in_dmas(j, k, slot):
+        d.wait()
+
+    # prefetch the next program's per-layer windows while this one computes
+    @pl.when(p + 1 < n_prog * nz)
+    def _():
+        nxt = jax.lax.rem(p + 1, jnp.int32(2))
+        last = k + 1 == nz
+        jn = jax.lax.select(last, j + 1, j)
+        kn = jax.lax.select(last, jnp.int32(0), k + 1)
+        for d in in_dmas(jn, kn, nxt):
+            d.start()
+
+    # single-slot output staging: drain the previous program's output copy
+    # before the compute below overwrites obuf
+    @pl.when(p > 0)
+    def _():
+        kp = jax.lax.select(k == 0, jnp.int32(nz - 1), k - 1)
+        jp = jax.lax.select(k == 0, j - 1, j)
+        for d in out_dmas(jp, kp):
+            d.wait()
 
     def rmx(a, n=1):
         return pltpu.roll(a, n, 1)
@@ -108,94 +159,81 @@ def _kernel(u_ref, v_ref, static_ref, *rest,
 
     DY_CF, DX_FC, INV_AZ_FF, F_FF, DX_CF, INV_DX_FC, DY_FC, INV_DY_CF = range(8)
 
-    for d in in_dmas(0, 0):
+    u = ubuf[slot]
+    v = vbuf[slot]
+    sb = sbuf
+
+    dyv = sb[DY_CF] * v
+    dxu = sb[DX_FC] * u
+    zeta = ((dyv - rmx(dyv)) - (dxu - rmy(dxu))) * sb[INV_AZ_FF]
+    q = zeta + sb[F_FF]
+
+    dxv = sb[DX_CF] * v
+    iy = 0.5 * (dxv + rpy(dxv))                     # iyc
+    v_hat = 0.5 * (rmx(iy) + iy) * sb[INV_DX_FC]    # ixf
+    dyu = sb[DY_FC] * u
+    ix = 0.5 * (dyu + rpx(dyu))                     # ixc
+    u_hat = 0.5 * (rmy(ix) + ix) * sb[INV_DY_CF]    # iyf
+
+    def q_at_centers(rm, rp, vel):
+        velm = rm(vel)
+        pos = velm > 0.0
+
+        def sel(a, b):
+            return jnp.where(pos, a, b)
+
+        m1 = rm(q)
+        m2 = rm(q, 2)
+        m3 = rm(q, 3)
+        p1 = rp(q)
+        p2 = rp(q, 2)
+        f = _weno5_left(sel(m3, p2), sel(m2, p1), sel(m1, q),
+                        sel(q, m1), sel(p1, m2))
+        return rp(f)
+
+    q_at_u = q_at_centers(rmy, rpy, v_hat)
+    q_at_v = q_at_centers(rmx, rpx, u_hat)
+
+    uu = u * u
+    vv = v * v
+    ke = 0.5 * (0.5 * (uu + rpx(uu)) + 0.5 * (vv + rpy(vv)))
+    Gu = q_at_u * v_hat - (ke - rmx(ke)) * sb[INV_DX_FC]
+    Gv = -q_at_v * u_hat - (ke - rmy(ke)) * sb[INV_DY_CF]
+
+    li = 0
+    if has_mask:
+        # single-layer convention: the advective part is masked BEFORE the
+        # closures are added (models/hydrostatic.py tendencies)
+        Gu = Gu * lbuf[slot, li]
+        Gv = Gv * lbuf[slot, li + 1]
+        li += 2
+    if has_lap:
+        LU_C, LU_F, LU_S = li, li + 1, li + 2
+        LV_F, LV_C, LV_S = li + 3, li + 4, li + 5
+        li += 6
+        gxu = (rpx(u) - u) * lbuf[slot, LU_C]
+        gyu = (u - rmy(u)) * lbuf[slot, LU_F]
+        Gu = Gu + ((gxu - rmx(gxu)) + (rpy(gyu) - gyu)) * lbuf[slot, LU_S]
+        gxv = (v - rmx(v)) * lbuf[slot, LV_F]
+        gyv = (rpy(v) - v) * lbuf[slot, LV_C]
+        Gv = Gv + ((rpx(gxv) - gxv) + (gyv - rmy(gyv))) * lbuf[slot, LV_S]
+    if has_drag:
+        DR_U, DR_V = li, li + 1
+        vci = 0.5 * (v + rpy(v))
+        sp_u = jnp.sqrt(uu + (0.5 * (vci + rmx(vci))) ** 2)
+        uci = 0.5 * (u + rpx(u))
+        sp_v = jnp.sqrt(vv + (0.5 * (uci + rmy(uci))) ** 2)
+        Gu = Gu - lbuf[slot, DR_U] * sp_u * u
+        Gv = Gv - lbuf[slot, DR_V] * sp_v * v
+
+    obuf[0] = Gu
+    obuf[1] = Gv
+    for d in out_dmas(j, k):
         d.start()
 
-    for j in range(n_prog):  # static unroll: double-buffered row pipeline
-        slot = j % 2
-        if j + 1 < n_prog:
-            for d in in_dmas(j + 1, (j + 1) % 2):
-                d.start()
-        for d in in_dmas(j, slot):
-            d.wait()
-
-        u = ubuf[slot]
-        v = vbuf[slot]
-        sb = sbuf[slot]
-
-        dyv = sb[DY_CF] * v
-        dxu = sb[DX_FC] * u
-        zeta = ((dyv - rmx(dyv)) - (dxu - rmy(dxu))) * sb[INV_AZ_FF]
-        q = zeta + sb[F_FF]
-
-        dxv = sb[DX_CF] * v
-        iy = 0.5 * (dxv + rpy(dxv))                     # iyc
-        v_hat = 0.5 * (rmx(iy) + iy) * sb[INV_DX_FC]    # ixf
-        dyu = sb[DY_FC] * u
-        ix = 0.5 * (dyu + rpx(dyu))                     # ixc
-        u_hat = 0.5 * (rmy(ix) + ix) * sb[INV_DY_CF]    # iyf
-
-        def q_at_centers(rm, rp, vel):
-            velm = rm(vel)
-            pos = velm > 0.0
-
-            def sel(a, b):
-                return jnp.where(pos, a, b)
-
-            m1 = rm(q)
-            m2 = rm(q, 2)
-            m3 = rm(q, 3)
-            p1 = rp(q)
-            p2 = rp(q, 2)
-            f = _weno5_left(sel(m3, p2), sel(m2, p1), sel(m1, q),
-                            sel(q, m1), sel(p1, m2))
-            return rp(f)
-
-        q_at_u = q_at_centers(rmy, rpy, v_hat)
-        q_at_v = q_at_centers(rmx, rpx, u_hat)
-
-        uu = u * u
-        vv = v * v
-        ke = 0.5 * (0.5 * (uu + rpx(uu)) + 0.5 * (vv + rpy(vv)))
-        Gu = q_at_u * v_hat - (ke - rmx(ke)) * sb[INV_DX_FC]
-        Gv = -q_at_v * u_hat - (ke - rmy(ke)) * sb[INV_DY_CF]
-
-        li = 0
-        if has_mask:
-            # single-layer convention: the advective part is masked BEFORE the
-            # closures are added (models/hydrostatic.py tendencies)
-            Gu = Gu * lbuf[slot, li]
-            Gv = Gv * lbuf[slot, li + 1]
-            li += 2
-        if has_lap:
-            LU_C, LU_F, LU_S = li, li + 1, li + 2
-            LV_F, LV_C, LV_S = li + 3, li + 4, li + 5
-            li += 6
-            gxu = (rpx(u) - u) * lbuf[slot, LU_C]
-            gyu = (u - rmy(u)) * lbuf[slot, LU_F]
-            Gu = Gu + ((gxu - rmx(gxu)) + (rpy(gyu) - gyu)) * lbuf[slot, LU_S]
-            gxv = (v - rmx(v)) * lbuf[slot, LV_F]
-            gyv = (rpy(v) - v) * lbuf[slot, LV_C]
-            Gv = Gv + ((rpx(gxv) - gxv) + (gyv - rmy(gyv))) * lbuf[slot, LV_S]
-        if has_drag:
-            DR_U, DR_V = li, li + 1
-            vci = 0.5 * (v + rpy(v))
-            sp_u = jnp.sqrt(uu + (0.5 * (vci + rmx(vci))) ** 2)
-            uci = 0.5 * (u + rpx(u))
-            sp_v = jnp.sqrt(vv + (0.5 * (uci + rmy(uci))) ** 2)
-            Gu = Gu - lbuf[slot, DR_U] * sp_u * u
-            Gv = Gv - lbuf[slot, DR_V] * sp_v * v
-
-        if j >= 2:
-            for d in out_dmas(j - 2, slot):
-                d.wait()
-        gubuf[slot] = Gu
-        gvbuf[slot] = Gv
-        for d in out_dmas(j, slot):
-            d.start()
-
-    for j in range(max(n_prog - 2, 0), n_prog):
-        for d in out_dmas(j, j % 2):
+    @pl.when(p + 1 == n_prog * nz)
+    def _():
+        for d in out_dmas(j, k):
             d.wait()
 
 
@@ -237,30 +275,32 @@ def momentum_pallas(u, v, static_pack, lay_pack=None, has_mask=False,
             lay_pack = lay_pack.reshape((nz * n_lay,) + lay_pack.shape[-2:])
         operands.append(pad(lay_pack))
 
-    kern = functools.partial(_kernel, n_lay=n_lay, B=B, W=W, n_prog=n_prog,
-                             Yb_pad=Yb_pad, Xb=Xb_pad, has_mask=has_mask,
-                             has_lap=has_lap, has_drag=has_drag)
+    kern = functools.partial(_kernel, nz=nz, n_lay=n_lay, B=B, W=W,
+                             n_prog=n_prog, Yb_pad=Yb_pad, Xb=Xb_pad,
+                             has_mask=has_mask, has_lap=has_lap,
+                             has_drag=has_drag)
     n_in = len(operands)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nz,),
+        grid=(n_prog, nz),  # row blocks OUTER, layers INNER (statics reuse)
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
             pltpu.VMEM((2, W, Xb_pad), u.dtype),          # u windows
             pltpu.VMEM((2, W, Xb_pad), u.dtype),          # v windows
-            pltpu.VMEM((2, 8, W, Xb_pad), u.dtype),       # static planes
+            pltpu.VMEM((8, W, Xb_pad), u.dtype),          # static planes (1 slot/row block)
         ] + ([pltpu.VMEM((2, n_lay, W, Xb_pad), u.dtype)] if n_lay else [])
         + [
-            pltpu.VMEM((2, W, Xb_pad), u.dtype),          # Gu stage
-            pltpu.VMEM((2, W, Xb_pad), u.dtype),          # Gv stage
-            pltpu.SemaphoreType.DMA((2, 4 if n_lay else 3)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, W, Xb_pad), u.dtype),          # [Gu | Gv] stage
+            pltpu.SemaphoreType.DMA((2, 3 if n_lay else 2)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kwargs = {}
     if not interpret:
-        foot = 2 * (12 + 2 + n_lay) * W * Xb_pad * jnp.dtype(u.dtype).itemsize
+        foot = (2 * (2 + n_lay) + 8 + 2) * W * Xb_pad \
+            * jnp.dtype(u.dtype).itemsize
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(foot + 32 * 2**20))
     Gu, Gv = pl.pallas_call(

@@ -77,3 +77,44 @@ def test_tracer_adv_compiled_packed_fused_kappa():
     I = (slice(None), slice(4, Yb - 4), slice(4, Xb - 4))
     np.testing.assert_allclose(want[I], got[I], rtol=2e-6,
                                atol=2e-6 * np.abs(want[I]).max())
+
+
+def test_tracer_adv_compiled_layered_mode():
+    """Compiled LAYERED mode (v3): global dy_fc/dx_cf flux planes cached per
+    row block + static dz, per-layer slab [IV, K_u, K_v, K_c] — the layered
+    benchmark's exact configuration. u/v pre-masked (the mode's contract)."""
+    from orthogonalsphericalshellgrids_tpu.ops.pallas_adv import (
+        pack_adv_statics_layered)
+
+    P, nz, Yb, Xb = 4, 2, 120, 140
+    rng = np.random.default_rng(9)
+    mu = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, jnp.float32)
+    mv = jnp.asarray(rng.random((nz, Yb, Xb)) > 0.2, jnp.float32)
+    u = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32) * mu
+    v = jnp.asarray(rng.standard_normal((nz, Yb, Xb)), jnp.float32) * mv
+    c = jnp.asarray(rng.standard_normal((P, Yb, Xb)), jnp.float32)
+    dy = jnp.asarray(0.5 + rng.random((Yb, Xb)), jnp.float32)
+    dx = jnp.asarray(0.5 + rng.random((Yb, Xb)), jnp.float32)
+    iv = jnp.asarray(rng.random((nz, Yb, Xb)), jnp.float32)
+    ku = jnp.asarray(rng.random((nz, Yb, Xb)), jnp.float32)
+    kv = jnp.asarray(rng.random((nz, Yb, Xb)), jnp.float32)
+    kc = jnp.asarray(rng.random((nz, Yb, Xb)), jnp.float32)
+    dz = (40.0, 55.0)
+    dz3 = jnp.asarray(dz, jnp.float32).reshape(-1, 1, 1)
+
+    # oracle: the COLUMN-mode formulation with Au = dz*dy (u masked)
+    want = _xla_adv(c, u, v, dz3 * dy, dz3 * dx, iv)
+    c4 = c.reshape(P // nz, nz, Yb, Xb)
+    gx = dxf(c4) * ku
+    gy = dyf(c4) * kv
+    want = want + np.asarray(((dxc(gx) + dyc(gy)) * kc).reshape(c.shape))
+
+    pack = pack_adv_statics_layered(iv, ku, kv, kc)
+    gp = jnp.stack([dy, dx])
+    got = np.asarray(jax.jit(
+        lambda c_, u_, v_, p_, g_: tracer_adv_pallas(
+            c_, u_, v_, statics_packed=p_, g_pack=g_, dz=dz,
+            block_rows=48))(c, u, v, pack, gp))
+    I = (slice(None), slice(4, Yb - 4), slice(4, Xb - 4))
+    np.testing.assert_allclose(want[I], got[I], rtol=2e-6,
+                               atol=2e-6 * np.abs(want[I]).max())
