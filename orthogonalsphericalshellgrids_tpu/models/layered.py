@@ -72,6 +72,21 @@ import os as _os
 
 USE_CORR_KERNEL = _os.environ.get("OSG_CORR_KERNEL", "0") == "1"
 
+# NEGATIVE RESULT, round 5 (kept opt-in so it isn't retried): accumulating
+# the z-resident column kernel's (dGu, dGv, dGc) INSIDE the mom/adv window
+# kernels (their ``acc`` operand) and folding the tendency's closing
+# mask multiply into the momentum kernel (``mask_out``), instead of the XLA
+# add/mask passes, LOSES on v5e: interleaved A/B through
+# benchmarks/ab_acc_fold.py measured 11.94 ms/step with both folds vs
+# 11.48 ms without (probes 644-754 GB/s; acc alone 11.66 vs 11.47). Total
+# HBM bytes are CONSERVED by the move — XLA already fuses the adds and the
+# mask into the AB2/predictor consumers, so no separate full-stack passes
+# existed to eliminate — while the window kernels are DMA-bound at the
+# margin, so the moved reads do not hide under their compute. Same
+# conserved-traffic mechanism as the corr-kernel loss above. Set
+# OSG_ACC_FOLD=1 to re-measure.
+ACC_FOLD = _os.environ.get("OSG_ACC_FOLD", "0") == "1"
+
 
 # --------------------------------------------------------------------------------------
 # Pytrees
@@ -650,6 +665,38 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     # plus the nu_h Laplacian and quadratic drag fused into the same window —
     # the corresponding XLA blocks below are skipped on this path
     use_mom_kernel = m.use_pallas and upwind_q
+    use_vert_kernel = m.use_pallas and model.nz > 1
+    dgu = dgv = dgc_vert = None
+    if use_vert_kernel:
+        # z-resident column kernel FIRST (ops/pallas_vert.py): its additive
+        # (dGu, dGv, dGc) then accumulate INSIDE the compute-bound mom/adv
+        # window sweeps below (their ``acc`` operand) instead of through
+        # separate full-stack XLA add passes — same float order, ~3 fewer
+        # full-stack HBM traversals per step at the benchmark shape
+        from ..ops.pallas_vert import vertical_pallas
+        from .hydrostatic import _fill_interpret
+
+        names = model.tracer_names
+        cc = jnp.concatenate([c, b], axis=0) if model.has_b else c
+        eos = model.buoyancy == "linear_eos"
+        dgu, dgv, dgc_vert = vertical_pallas(
+            u, v, cc, model.vert_pack, model.vert_g,
+            dz=model.dz, dzc=model.dzc, mode=model.buoyancy,
+            g_b=model.g_b, alpha=model.alpha_T, beta=model.beta_S,
+            T0=model.T0, S0=model.S0,
+            it_T=names.index("T") if eos and "T" in names else -1,
+            it_S=names.index("S") if eos and "S" in names else -1,
+            it_B=len(names) if model.has_b else -1,
+            nu_v=0.0 if model.vert_impl else model.nu_v,
+            kappa_v=0.0 if model.vert_impl else model.kappa_v,
+            interpret=_fill_interpret())
+    # fold the tendency's closing (mask_u, mask_v) multiply into the kernel
+    # window too — valid when no term lands on Gu/Gv between the kernel and
+    # the mask except wind (pre-masked below; distributive up to land-zero
+    # signs), i.e. no biharmonic / linear drag, and the vert contribution is
+    # consumed by the kernel's acc operand (dGu is NOT pre-masked)
+    mom_mask_fold = (ACC_FOLD and use_mom_kernel and m.nu4_h == 0.0
+                     and m.drag_type != "linear")
     if use_mom_kernel:
         from ..ops.pallas_mom import momentum_pallas
         from .hydrostatic import _fill_interpret
@@ -657,6 +704,9 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
         Gu, Gv = momentum_pallas(
             u, v, model.mom_static, model.mom_lay,
             has_lap=m.nu_h > 0.0, has_drag=m.drag_type == "quadratic",
+            acc=(dgu, dgv) if (use_vert_kernel and ACC_FOLD) else None,
+            mask_out=((model.mask_u3, model.mask_v3) if mom_mask_fold
+                      else None),
             interpret=_fill_interpret())
     else:
         zeta = (dxf(g.dy_cf * v) - dyf(g.dx_fc * u)) * m.inv_az_ff
@@ -677,30 +727,15 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     # w-transport, baroclinic pressure gradient (p = -∫ b dz with b from the
     # prognostic BuoyancyTracer or the T/S linear EOS), and the explicit
     # vertical Laplacians. On TPU the whole slice runs as ONE z-resident
-    # Pallas column pass (ops/pallas_vert.py) — w, p and every interface flux
-    # stay in VMEM; the XLA formulation below is the oracle path (parity
-    # pinned in tests/test_pallas_vert.py and tests_tpu/).
-    use_vert_kernel = m.use_pallas and model.nz > 1
-    dgc_vert = None
+    # Pallas column pass (the vertical_pallas call ABOVE, before the momentum
+    # section) — w, p and every interface flux stay in VMEM; the XLA
+    # formulation below is the oracle path (parity pinned in
+    # tests/test_pallas_vert.py and tests_tpu/).
     if use_vert_kernel:
-        from ..ops.pallas_vert import vertical_pallas
-
-        names = model.tracer_names
-        cc = jnp.concatenate([c, b], axis=0) if model.has_b else c
-        eos = model.buoyancy == "linear_eos"
-        dgu, dgv, dgc_vert = vertical_pallas(
-            u, v, cc, model.vert_pack, model.vert_g,
-            dz=model.dz, dzc=model.dzc, mode=model.buoyancy,
-            g_b=model.g_b, alpha=model.alpha_T, beta=model.beta_S,
-            T0=model.T0, S0=model.S0,
-            it_T=names.index("T") if eos and "T" in names else -1,
-            it_S=names.index("S") if eos and "S" in names else -1,
-            it_B=len(names) if model.has_b else -1,
-            nu_v=0.0 if model.vert_impl else model.nu_v,
-            kappa_v=0.0 if model.vert_impl else model.kappa_v,
-            interpret=_fill_interpret())
-        Gu = Gu + dgu
-        Gv = Gv + dgv
+        if not (use_mom_kernel and ACC_FOLD):
+            # mom kernel's acc operand didn't consume (dGu, dGv)
+            Gu = Gu + dgu
+            Gv = Gv + dgv
     else:
         # --- vertical momentum advection (advective form, centered)
         w = vertical_velocity(model, u, v)
@@ -724,9 +759,15 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
 
     # --- optional forcing / closures (compiled out when disabled)
     if m.wind:
-        # surface stress accelerates the top layer
-        Gu = Gu.at[0].add(m.taux / model.dz[0])
-        Gv = Gv.at[0].add(m.tauy / model.dz[0])
+        # surface stress accelerates the top layer (pre-masked when the mask
+        # multiply was folded into the momentum kernel)
+        wu = m.taux / model.dz[0]
+        wv = m.tauy / model.dz[0]
+        if mom_mask_fold:
+            wu = wu * model.mask_u3[0]
+            wv = wv * model.mask_v3[0]
+        Gu = Gu.at[0].add(wu)
+        Gv = Gv.at[0].add(wv)
     if m.drag_type == "linear":
         Gu = Gu - (m.drag_coeff / model.dz3) * u * model.bot_u
         Gv = Gv - (m.drag_coeff / model.dz3) * v * model.bot_v
@@ -746,8 +787,9 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
         Gu = Gu - m.nu4_h * biharmonic_u(g, u, model.mask_u3, model.mask_c3)
         Gv = Gv - m.nu4_h * biharmonic_v(g, v, model.mask_v3, model.mask_c3)
 
-    Gu = Gu * model.mask_u3
-    Gv = Gv * model.mask_v3
+    if not mom_mask_fold:  # folded into the momentum kernel window otherwise
+        Gu = Gu * model.mask_u3
+        Gv = Gv * model.mask_v3
 
     # --- tracers: flux-form WENO-5 (x, y) + Centered (z)
     inv_vol = model.mask_c3 * _inv(g.az_cc * model.dz3)
@@ -757,8 +799,13 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
     # through HBM on this memory-bound stack. Tight-band parity pinned in
     # tests/test_pallas_adv.py.
     use_adv_kernel = m.use_pallas and m.tracer_advection == "weno5"
+    # the column kernel's dGc accumulates inside the adv kernel's windows —
+    # but only when the float order is preserved exactly (no biharmonic term
+    # between the advective tendency and the vertical add)
+    acc_in_adv = (use_adv_kernel and use_vert_kernel and ACC_FOLD
+                  and m.kappa4_h == 0.0)
 
-    def tracer_tendency(cq):
+    def tracer_tendency(cq, acc=None):
         if use_adv_kernel:
             from ..ops.pallas_adv import tracer_adv_pallas
 
@@ -767,6 +814,7 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
             P3 = cq.reshape((-1,) + cq.shape[-2:])
             G = tracer_adv_pallas(P3, u, v, statics_packed=model.adv_pack,
                                   g_pack=model.vert_g[3:5], dz=model.dz,
+                                  acc=acc,
                                   interpret=_fill_interpret()).reshape(cq.shape)
         else:
             cx = tracer_faces(cq, u, axis=-1, scheme=m.tracer_advection)
@@ -793,10 +841,13 @@ def layered_tendencies(model: LayeredModel, u, v, c, b, t=0.0):
 
     # multi-tracer: one broadcast pass over the (n, Nz, Yb, Xb) view — every
     # horizontal/vertical operator above indexes axes -1/-2/-3 only
-    Gc = _as_tracer_stack(model, tracer_tendency(_as_tracer4(model, c)))
-    Gb = tracer_tendency(b) if model.has_b else jnp.zeros_like(b)
-    if use_vert_kernel:  # add the column kernel's vertical tracer terms
-        ncp = c.shape[0]
+    ncp = c.shape[0]
+    Gc = _as_tracer_stack(model, tracer_tendency(
+        _as_tracer4(model, c), acc=dgc_vert[:ncp] if acc_in_adv else None))
+    Gb = (tracer_tendency(b, acc=dgc_vert[ncp:] if acc_in_adv else None)
+          if model.has_b else jnp.zeros_like(b))
+    if use_vert_kernel and not acc_in_adv:
+        # adv kernel off (or biharmonic order constraint): XLA adds
         Gc = Gc + dgc_vert[:ncp]
         if model.has_b:
             Gb = Gb + dgc_vert[ncp:]

@@ -92,14 +92,22 @@ def pack_adv_statics_layered(inv_vol, k_u=None, k_v=None, k_c=None):
         [jnp.stack([p[k] for p in parts]) for k in range(nz)])
 
 
-def _kernel(*args, nz, n_tr, S, B, W, n_prog, Yb_pad, Xb, has_diff, layered):
+def _kernel(*args, nz, n_tr, S, B, W, n_prog, Yb_pad, Xb, has_diff, layered,
+            has_acc):
+    args = list(args)
     if layered:
-        (dz_ref, c_ref, u_ref, v_ref, s_ref, g_ref, out_ref, cbuf, ubuf,
-         vbuf, sbuf, gbuf, obuf, in_sems, g_sem, out_sems) = args
+        dz_ref, c_ref, u_ref, v_ref, s_ref, g_ref = args[:6]
+        del args[:6]
     else:
-        (c_ref, u_ref, v_ref, s_ref, out_ref, cbuf, ubuf, vbuf, sbuf, obuf,
-         in_sems, g_sem, out_sems) = args
-        g_ref = gbuf = dz_ref = None
+        c_ref, u_ref, v_ref, s_ref = args[:4]
+        del args[:4]
+        g_ref = dz_ref = None
+    acc_ref = args.pop(0) if has_acc else None
+    out_ref, cbuf, ubuf, vbuf, sbuf = args[:5]
+    del args[:5]
+    gbuf = args.pop(0) if layered else None
+    abuf = args.pop(0) if has_acc else None
+    obuf, in_sems, g_sem, out_sems = args
     j = pl.program_id(0)  # row block (outer)
     k = pl.program_id(1)  # layer (inner)
     p = j * nz + k
@@ -121,6 +129,14 @@ def _kernel(*args, nz, n_tr, S, B, W, n_prog, Yb_pad, Xb, has_diff, layered):
             dmas.append(pltpu.make_async_copy(
                 c_ref.at[t * nz + kk, rows, :], cbuf.at[sl, t],
                 in_sems.at[sl, 3 + t]))
+        if has_acc:
+            # vert-kernel contributions accumulated in-window (layered.py):
+            # the add rides the compute-bound sweep instead of a separate
+            # XLA read(G_adv)+read(dG_vert)+write(G) full-stack pass
+            for t in range(n_tr):
+                dmas.append(pltpu.make_async_copy(
+                    acc_ref.at[t * nz + kk, rows, :], abuf.at[sl, t],
+                    in_sems.at[sl, 3 + n_tr + t]))
         return dmas
 
     def out_dmas(jj, kk):
@@ -220,6 +236,9 @@ def _kernel(*args, nz, n_tr, S, B, W, n_prog, Yb_pad, Xb, has_diff, layered):
             gyd = (c - rollm_y(c)) * sbuf[slot, KV]
             G = G + ((rollp_x(gxd) - gxd) + (rollp_y(gyd) - gyd)) \
                 * sbuf[slot, KC]
+        if has_acc:
+            # same add order as the XLA assembly (G_adv_total + dG_vert)
+            G = G + abuf[slot, t]
         obuf[t] = G
 
     for d in out_dmas(j, k):
@@ -233,7 +252,7 @@ def _kernel(*args, nz, n_tr, S, B, W, n_prog, Yb_pad, Xb, has_diff, layered):
 
 def tracer_adv_pallas(c, u, v, a_u=None, a_v=None, inv_vol=None, k_u=None,
                       k_v=None, k_c=None, statics_packed=None, g_pack=None,
-                      dz=None, block_rows=None, interpret=False):
+                      dz=None, acc=None, block_rows=None, interpret=False):
     """Horizontal tracer-advection (+ optional fused kappa_h diffusion)
     tendency, one double-buffered Pallas pass.
 
@@ -250,7 +269,13 @@ def tracer_adv_pallas(c, u, v, a_u=None, a_v=None, inv_vol=None, k_u=None,
 
     All halo-filled. Returns the (P, Yb, Xb) tendency; only cells with
     full-stencil validity (>= 4 rows/columns from the array edge) are
-    meaningful."""
+    meaningful.
+
+    ``acc``: optional (P, Yb, Xb) additive contribution (the z-resident
+    column kernel's dGc, models/layered.py) accumulated INTO the output
+    windows — same float order as the XLA assembly ``G_adv + dGc``, but the
+    read rides this kernel's compute-bound sweep instead of a separate
+    full-stack XLA add pass."""
     P, Yb, Xb = c.shape
     nz = u.shape[0]
     assert P % nz == 0, (P, nz)
@@ -280,13 +305,18 @@ def tracer_adv_pallas(c, u, v, a_u=None, a_v=None, inv_vol=None, k_u=None,
         return jnp.pad(a, ((0, 0), (0, Yb_pad - a.shape[-2]),
                            (0, Xb_pad - a.shape[-1])))
 
+    has_acc = acc is not None
     operands = [pad(c), pad(u), pad(v), pad(statics_packed)]
     if layered:
         operands.append(pad(g_pack))
+    if has_acc:
+        assert acc.shape == (P, Yb, Xb), (acc.shape, c.shape)
+        operands.append(pad(acc))
 
     kern = functools.partial(_kernel, nz=nz, n_tr=n_tr, S=S, B=B, W=W,
                              n_prog=n_prog, Yb_pad=Yb_pad, Xb=Xb_pad,
-                             has_diff=has_diff, layered=layered)
+                             has_diff=has_diff, layered=layered,
+                             has_acc=has_acc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if layered else 0,
         grid=(n_prog, nz),  # row blocks OUTER, layers INNER
@@ -298,16 +328,18 @@ def tracer_adv_pallas(c, u, v, a_u=None, a_v=None, inv_vol=None, k_u=None,
             pltpu.VMEM((2, W, Xb_pad), c.dtype),         # v
             pltpu.VMEM((2, S, W, Xb_pad), c.dtype),      # per-layer statics
         ] + ([pltpu.VMEM((2, W, Xb_pad), c.dtype)] if layered else [])
+        + ([pltpu.VMEM((2, n_tr, W, Xb_pad), c.dtype)] if has_acc else [])
         + [
             pltpu.VMEM((n_tr, W, Xb_pad), c.dtype),      # G staging
-            pltpu.SemaphoreType.DMA((2, 3 + n_tr)),
+            pltpu.SemaphoreType.DMA((2, 3 + (2 if has_acc else 1) * n_tr)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((n_tr,)),
         ],
     )
     kwargs = {}
     if not interpret:
-        n_planes = 2 * (n_tr + 2 + S) + n_tr + (2 if layered else 0)
+        n_planes = (2 * (n_tr + 2 + S) + n_tr + (2 if layered else 0)
+                    + (2 * n_tr if has_acc else 0))
         foot = n_planes * W * Xb_pad * jnp.dtype(c.dtype).itemsize
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(foot + 32 * 2**20))

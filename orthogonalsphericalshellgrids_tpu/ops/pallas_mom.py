@@ -68,13 +68,24 @@ def _geometry(Yb, block_rows):
 
 
 def _kernel(u_ref, v_ref, static_ref, *rest,
-            nz, n_lay, B, W, n_prog, Yb_pad, Xb, has_mask, has_lap, has_drag):
-    if n_lay:
-        lay_ref, gu_out, gv_out, ubuf, vbuf, sbuf, lbuf, obuf, \
-            in_sems, s_sem, out_sem = rest
+            nz, n_lay, B, W, n_prog, Yb_pad, Xb, has_mask, has_lap, has_drag,
+            has_acc, has_mask_out):
+    rest = list(rest)
+    lay_ref = rest.pop(0) if n_lay else None
+    if has_acc:
+        au_ref, av_ref = rest.pop(0), rest.pop(0)
     else:
-        gu_out, gv_out, ubuf, vbuf, sbuf, obuf, in_sems, s_sem, out_sem = rest
-        lay_ref = lbuf = None
+        au_ref = av_ref = None
+    if has_mask_out:
+        mu_ref, mv_ref = rest.pop(0), rest.pop(0)
+    else:
+        mu_ref = mv_ref = None
+    gu_out, gv_out, ubuf, vbuf, sbuf = rest[:5]
+    del rest[:5]
+    lbuf = rest.pop(0) if n_lay else None
+    abuf = rest.pop(0) if has_acc else None
+    mbuf = rest.pop(0) if has_mask_out else None
+    obuf, in_sems, s_sem, out_sem = rest
     j = pl.program_id(0)  # row block (outer)
     k = pl.program_id(1)  # layer (inner)
     p = j * nz + k
@@ -94,6 +105,25 @@ def _kernel(u_ref, v_ref, static_ref, *rest,
             dmas.append(pltpu.make_async_copy(
                 lay_ref.at[pl.ds(kk * n_lay, n_lay), rows, :], lbuf.at[sl],
                 in_sems.at[sl, 2]))
+        base = 3 if n_lay else 2
+        if has_acc:
+            # z-resident column kernel's (dGu, dGv) accumulated in-window
+            # (layered.py) — the read rides this compute-bound sweep instead
+            # of a separate full-stack XLA add pass
+            dmas.append(pltpu.make_async_copy(
+                au_ref.at[kk, rows, :], abuf.at[sl, 0], in_sems.at[sl, base]))
+            dmas.append(pltpu.make_async_copy(
+                av_ref.at[kk, rows, :], abuf.at[sl, 1],
+                in_sems.at[sl, base + 1]))
+            base += 2
+        if has_mask_out:
+            # final (mask_u, mask_v) multiply folded in-window (layered.py) —
+            # replaces the read(G)+read(mask)+write(G) XLA masking pass
+            dmas.append(pltpu.make_async_copy(
+                mu_ref.at[kk, rows, :], mbuf.at[sl, 0], in_sems.at[sl, base]))
+            dmas.append(pltpu.make_async_copy(
+                mv_ref.at[kk, rows, :], mbuf.at[sl, 1],
+                in_sems.at[sl, base + 1]))
         return dmas
 
     def out_dmas(jj, kk):
@@ -225,6 +255,15 @@ def _kernel(u_ref, v_ref, static_ref, *rest,
         sp_v = jnp.sqrt(vv + (0.5 * (uci + rmy(uci))) ** 2)
         Gu = Gu - lbuf[slot, DR_U] * sp_u * u
         Gv = Gv - lbuf[slot, DR_V] * sp_v * v
+    if has_acc:
+        # same float order as the XLA assembly (Gu_kernel_total + dGu)
+        Gu = Gu + abuf[slot, 0]
+        Gv = Gv + abuf[slot, 1]
+    if has_mask_out:
+        # the tendency's final mask multiply (wind riding after this in XLA
+        # must then be pre-masked — distributive up to the sign of land zeros)
+        Gu = Gu * mbuf[slot, 0]
+        Gv = Gv * mbuf[slot, 1]
 
     obuf[0] = Gu
     obuf[1] = Gv
@@ -238,8 +277,8 @@ def _kernel(u_ref, v_ref, static_ref, *rest,
 
 
 def momentum_pallas(u, v, static_pack, lay_pack=None, has_mask=False,
-                    has_lap=False, has_drag=False, block_rows=None,
-                    interpret=False):
+                    has_lap=False, has_drag=False, acc=None, mask_out=None,
+                    block_rows=None, interpret=False):
     """Vector-invariant horizontal momentum tendencies (+ optional fused
     mask / Laplacian closure / quadratic bottom drag), one double-buffered
     Pallas pass.
@@ -253,6 +292,15 @@ def momentum_pallas(u, v, static_pack, lay_pack=None, has_mask=False,
     ADVECTIVE result before the closures; with ``has_lap`` the 6 Laplacian
     factors [LU_C, LU_F, LU_S, LV_F, LV_C, LV_S]; with ``has_drag``
     [Cd/dz*bot_u, Cd/dz*bot_v].
+    ``acc``: optional ((Nz, Yb, Xb), (Nz, Yb, Xb)) additive contributions
+    (the z-resident column kernel's dGu/dGv, models/layered.py) accumulated
+    INTO the output windows — same float order as the XLA assembly
+    ``Gu + dGu``, with the read riding this kernel's compute-bound sweep
+    instead of a separate full-stack XLA add pass.
+    ``mask_out``: optional ((Nz, Yb, Xb), (Nz, Yb, Xb)) final (mask_u, mask_v)
+    multiply applied after ``acc`` — replaces the layered tendency's closing
+    ``G * mask`` XLA pass; any term the caller adds AFTER this kernel (wind)
+    must then be pre-masked (equal up to the sign of land zeros).
     Returns (Gu, Gv); cells within 5 rows/columns of the edge are garbage."""
     nz, Yb, Xb = u.shape
     n_lay = ((2 if has_mask else 0) + (6 if has_lap else 0)
@@ -269,17 +317,30 @@ def momentum_pallas(u, v, static_pack, lay_pack=None, has_mask=False,
                                             (0, Xb_pad - a.shape[-1])]
         return jnp.pad(a, widths)
 
+    has_acc = acc is not None
+    has_mask_out = mask_out is not None
     operands = [pad(u), pad(v), pad(static_pack)]
     if n_lay:
         if lay_pack.ndim == 4:  # (Nz, L, Yb, Xb) -> flattened kernel layout
             lay_pack = lay_pack.reshape((nz * n_lay,) + lay_pack.shape[-2:])
         operands.append(pad(lay_pack))
+    if has_acc:
+        au, av = acc
+        assert au.shape == u.shape and av.shape == u.shape
+        operands += [pad(au), pad(av)]
+    if has_mask_out:
+        mu, mv = mask_out
+        assert mu.shape == u.shape and mv.shape == u.shape
+        operands += [pad(mu), pad(mv)]
 
     kern = functools.partial(_kernel, nz=nz, n_lay=n_lay, B=B, W=W,
                              n_prog=n_prog, Yb_pad=Yb_pad, Xb=Xb_pad,
                              has_mask=has_mask, has_lap=has_lap,
-                             has_drag=has_drag)
+                             has_drag=has_drag, has_acc=has_acc,
+                             has_mask_out=has_mask_out)
     n_in = len(operands)
+    n_extra = (2 if has_acc else 0) + (2 if has_mask_out else 0)
+    n_sem = (3 if n_lay else 2) + n_extra
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_prog, nz),  # row blocks OUTER, layers INNER (statics reuse)
@@ -290,17 +351,19 @@ def momentum_pallas(u, v, static_pack, lay_pack=None, has_mask=False,
             pltpu.VMEM((2, W, Xb_pad), u.dtype),          # v windows
             pltpu.VMEM((8, W, Xb_pad), u.dtype),          # static planes (1 slot/row block)
         ] + ([pltpu.VMEM((2, n_lay, W, Xb_pad), u.dtype)] if n_lay else [])
+        + ([pltpu.VMEM((2, 2, W, Xb_pad), u.dtype)] if has_acc else [])
+        + ([pltpu.VMEM((2, 2, W, Xb_pad), u.dtype)] if has_mask_out else [])
         + [
             pltpu.VMEM((2, W, Xb_pad), u.dtype),          # [Gu | Gv] stage
-            pltpu.SemaphoreType.DMA((2, 3 if n_lay else 2)),
+            pltpu.SemaphoreType.DMA((2, n_sem)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kwargs = {}
     if not interpret:
-        foot = (2 * (2 + n_lay) + 8 + 2) * W * Xb_pad \
-            * jnp.dtype(u.dtype).itemsize
+        foot = (2 * (2 + n_lay + n_extra) + 8 + 2) \
+            * W * Xb_pad * jnp.dtype(u.dtype).itemsize
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(foot + 32 * 2**20))
     Gu, Gv = pl.pallas_call(

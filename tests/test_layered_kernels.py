@@ -233,3 +233,34 @@ def test_sharded_layered_kernel_path_matches_serial(mesh_shape):
     ge = mk.baro.grid_ext
     np.testing.assert_allclose(np.asarray(ge.interior(got.eta)),
                                np.asarray(ge.interior(ss.eta)), rtol=0, atol=1e-13)
+
+
+def test_layered_tendencies_acc_fold_parity():
+    """The opt-in acc/mask fold (models/layered.py:ACC_FOLD — measured
+    NEGATIVE result on v5e, benchmarks/ab_acc_fold.py) must stay numerically
+    equivalent to the default path: vert contributions accumulated inside the
+    mom/adv kernel windows + the in-window closing mask multiply vs the XLA
+    adds/mask. Same float order by construction => tight band."""
+    from orthogonalsphericalshellgrids_tpu.models import layered as L
+
+    mk, _, state = _models()
+    u = _fill3(mk, state.u, FC, -1)
+    v = _fill3(mk, state.v, CF, -1)
+    c = _fill3(mk, state.c, CC, 1)
+    b = state.b
+
+    old = L.ACC_FOLD
+    try:
+        L.ACC_FOLD = False
+        G0 = layered_tendencies(mk, u, v, c, b, t=0.0)
+        L.ACC_FOLD = True
+        G1 = layered_tendencies(mk, u, v, c, b, t=0.0)
+    finally:
+        L.ACC_FOLD = old
+    I3 = (slice(None),) + mk.grid.interior2d
+    for name, a, w in zip(("Gu", "Gv", "Gc", "Gb"), G1, G0):
+        a = np.asarray(a[I3])
+        w = np.asarray(w[I3])
+        np.testing.assert_allclose(a, w, rtol=1e-12,
+                                   atol=1e-12 * max(np.abs(w).max(), 1.0),
+                                   err_msg=name)
