@@ -52,7 +52,9 @@ __all__ = ["momentum_pallas", "DEFAULT_BLOCK_ROWS_MOM"]
 
 # v3 sweep on v5e at 1/4-degree x 10 (probe 619 GB/s): 232 > 152 > 64 > 104
 # (2504/2736/2867/2926 us isolated) — bigger blocks amortize the per-block
-# statics fetch; B=344 would need a 66 MB window (over budget at W=360).
+# statics fetch. B=344 (66 MB window at W=360) was MEASURED in round 5 with
+# the limit raised: the Mosaic compile fails outright (tpu_compile_helper
+# exit 1), so 232 is the hardware-admissible maximum, not a budget choice.
 DEFAULT_BLOCK_ROWS_MOM = 232
 _OV = 8
 
