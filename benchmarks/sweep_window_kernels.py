@@ -41,10 +41,17 @@ def sweep(name, fn, blocks, init):
 
 
 def adv(x, br):
+    # LAYERED mode — the production call signature (models/layered.py
+    # tracer_tendency): g_pack + static dz select the layered flux-metric
+    # path and the S=4 [IV, K_u, K_v, K_c] slab stride. (A round-5 audit
+    # found the earlier sweep omitted g_pack, which silently fell back to
+    # COLUMN mode and read the stride-4 pack at stride 3 — wrong factor
+    # planes; timings re-taken with this fixed.)
     from orthogonalsphericalshellgrids_tpu.ops.pallas_adv import tracer_adv_pallas
 
     cq, uu, vv = x
     out = tracer_adv_pallas(cq, uu, vv, statics_packed=model.adv_pack,
+                            g_pack=model.vert_g[3:5], dz=model.dz,
                             block_rows=br)
     return (out, uu, vv)
 

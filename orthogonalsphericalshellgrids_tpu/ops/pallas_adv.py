@@ -51,10 +51,15 @@ from .advection import _weno5_left
 __all__ = ["tracer_adv_pallas", "pack_adv_statics", "pack_adv_statics_layered",
            "DEFAULT_BLOCK_ROWS_ADV"]
 
-# v3 sweep on v5e at 1/4-degree x 10 (probe ~796 GB/s), layered mode:
-# 48 > 80 > 104 >> 128/160 (2387/2415/2423/3185/3201 us isolated); the
-# single-layer column mode keeps the round-4 104 (its negative-result and
-# crossover measurements were taken there).
+# Layered-mode block choice, round 5, decided END-TO-END: the corrected
+# isolated sweep (TRUE layered mode with g_pack + dz — the earlier sweep had
+# silently fallen back to column mode and read the stride-4 pack at stride 3,
+# see benchmarks/sweep_window_kernels.py) ranks 104 > 80 > 48 >> 128/160
+# (2386/2492/2762/3035/3204 us at probe 623), but an interleaved A/B of the
+# FULL layered step puts 48 ahead of 104 (11.47 vs 11.65 ms/step, probes
+# 651-712): in-step, the smaller window coexists better with the XLA
+# slices' buffers than the isolated scan predicts. The in-step measurement
+# is the one that ships. Single-layer column mode keeps the round-4 104.
 DEFAULT_BLOCK_ROWS_ADV = 104
 DEFAULT_BLOCK_ROWS_ADV_LAYERED = 48
 _OV = 8
